@@ -1,0 +1,194 @@
+"""Unit tests for BESS batch samplers (host-side numpy).
+
+Mirrors the reference strategy (/root/reference/tests/test_batch_sampler.py):
+reconstruct the post-AllToAll tail layout by hand, check that every emitted
+triple is a dataset triple, and that a Rigid epoch covers the dataset exactly
+once (modulo the padding mask).
+"""
+
+import numpy as np
+import pytest
+
+from besskge_tpu.batch_sampler import (
+    RandomShardedBatchSampler,
+    RigidShardedBatchSampler,
+)
+from besskge_tpu.dataset import KGDataset
+from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+
+SEED = 99
+N_ENTITY = 420
+N_RELATION = 9
+N_SHARD = 4
+N_TRIPLE = 3000
+SHARD_BS = 24
+BPS = 3
+N_NEG = 8
+
+
+@pytest.fixture(scope="module")
+def sharding():
+    return Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def triples():
+    rng = np.random.default_rng(SEED)
+    return np.stack(
+        [
+            rng.integers(N_ENTITY, size=N_TRIPLE),
+            rng.integers(N_RELATION, size=N_TRIPLE),
+            rng.integers(N_ENTITY, size=N_TRIPLE),
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+
+@pytest.fixture(scope="module")
+def pts(sharding, triples):
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=N_RELATION,
+        triples={"train": triples},
+        original_triple_ids={"train": np.arange(N_TRIPLE)},
+    )
+    return PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+
+
+def reconstruct_globals(batch, sharding, bps, duplicate=False):
+    """Undo localization and the tail pre-transpose -> global (h, r, t)."""
+    head = batch["head"]  # (bps, shard_h, shard_t, ppp) local on shard_h
+    rel = batch["relation"]
+    tail = batch["tail"]  # (bps, shard_t, shard_h, ppp) local on shard_t
+    tail = tail.transpose(0, 2, 1, 3)  # simulate the AllToAll back
+    h_glob = sharding.shard_and_idx_to_entity[
+        np.arange(N_SHARD)[None, :, None, None], head
+    ]
+    t_glob = sharding.shard_and_idx_to_entity[
+        np.arange(N_SHARD)[None, None, :, None], tail
+    ]
+    return h_glob, rel, t_glob
+
+
+@pytest.mark.parametrize("corruption_scheme", ["t", "ht"])
+def test_random_batches_are_dataset_triples(
+    pts, sharding, triples, corruption_scheme
+):
+    ns = RandomShardedNegativeSampler(
+        N_NEG, sharding, SEED, corruption_scheme, local_sampling=False
+    )
+    bs = RandomShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=BPS,
+        seed=SEED,
+    )
+    batch = bs.sample_batch([0])
+    ppp = bs.positive_per_partition
+    assert batch["head"].shape == (BPS, N_SHARD, N_SHARD, ppp)
+    assert batch["negative"].shape == (
+        BPS,
+        N_SHARD,
+        N_SHARD,
+        N_SHARD * ppp,
+        N_NEG,
+    )
+    h, r, t = reconstruct_globals(batch, sharding, BPS)
+    emitted = np.stack([h, r, t], axis=-1).reshape(-1, 3)
+    # Every emitted triple appears in the dataset.
+    ds_set = {tuple(x) for x in triples.tolist()}
+    for row in emitted.tolist():
+        assert tuple(row) in ds_set
+    # Each (shard_h, shard_t) block draws only from its own partition.
+    for sh in range(N_SHARD):
+        for st in range(N_SHARD):
+            np.testing.assert_array_equal(
+                sharding.entity_to_shard[h[:, sh, st]], sh
+            )
+            np.testing.assert_array_equal(
+                sharding.entity_to_shard[t[:, sh, st]], st
+            )
+
+
+def test_rigid_epoch_covers_dataset(pts, sharding, triples):
+    ns = RandomShardedNegativeSampler(
+        N_NEG, sharding, SEED, "t", local_sampling=False
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=BPS,
+        seed=SEED,
+        return_triple_idx=True,
+    )
+    seen = []
+    for block in bs.epoch_index_blocks(shuffle=False):
+        batch = bs.sample_batch(block)
+        mask = batch["triple_mask"]
+        idx = batch["triple_idx"]
+        h, r, t = reconstruct_globals(batch, sharding, BPS)
+        emitted = np.stack([h, r, t], axis=-1)
+        # Masked-in triples match the dataset rows they claim to be.
+        np.testing.assert_array_equal(
+            emitted[mask], triples[pts.triple_sort_idx][idx[mask]]
+        )
+        seen.append(idx[mask])
+    seen = np.sort(np.concatenate(seen))
+    # Exactly one epoch: every triple exactly once.
+    np.testing.assert_array_equal(seen, np.arange(N_TRIPLE))
+
+
+def test_rigid_duplicate_batch_halves_identical(pts, sharding):
+    ns = RandomShardedNegativeSampler(
+        N_NEG, sharding, SEED, "ht", local_sampling=False, flat_negative_format=True
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=BPS,
+        seed=SEED,
+        duplicate_batch=True,
+    )
+    batch = bs.sample_batch(next(iter(bs.epoch_index_blocks(shuffle=False))))
+    ppp = batch["head"].shape[-1]
+    for key in ("head", "relation", "tail", "triple_mask"):
+        first, second = np.split(batch[key], 2, axis=-1)
+        np.testing.assert_array_equal(first, second)
+    assert ppp == 2 * bs.positive_per_partition
+
+
+def test_hrt_freq_weighting(pts, sharding):
+    ns = RandomShardedNegativeSampler(
+        N_NEG, sharding, SEED, "t", local_sampling=False
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=BPS,
+        seed=SEED,
+        hrt_freq_weighting=True,
+    )
+    batch = bs.sample_batch(next(iter(bs.epoch_index_blocks(shuffle=False))))
+    w = batch["triple_weight"]
+    assert w.shape == (BPS, N_SHARD, N_SHARD * bs.positive_per_partition)
+    np.testing.assert_allclose(w.sum(-1), SHARD_BS, rtol=1e-5)
+
+
+def test_dataloader_prefetch(pts, sharding):
+    ns = RandomShardedNegativeSampler(
+        N_NEG, sharding, SEED, "t", local_sampling=False
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=BPS,
+        seed=SEED,
+    )
+    n_batches = sum(1 for _ in bs.get_dataloader(shuffle=True))
+    assert n_batches == len(bs) // bs.partition_sample_size
