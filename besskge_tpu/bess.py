@@ -1,0 +1,628 @@
+"""BESS distribution core: device programs for distributed KGE (JAX).
+
+Capability parity with reference ``besskge/bess.py:34-1062``
+(graphcore-research/bess-kge), re-designed for the TPU execution model:
+
+* Each module's :meth:`forward` is *device code*: a pure function over the
+  device-local blocks of the batch and the local entity-table shard, meant to
+  run inside ``jax.shard_map`` over the 1-D ``("shard",)`` mesh (or plain
+  ``jit`` with ``axis_name=None`` for the single-chip degenerate path).
+* The reference's GCL custom-op collectives (``bess.py:14-19``) become
+  ``jax.lax.all_to_all`` / ``jax.lax.all_gather`` over ICI; their autodiff
+  transposes route entity-gradient cotangents back to the home shard, so the
+  entity-table gradient never crosses devices — the built-in equivalent of
+  the reference's C++ ``RemoveAllReducePattern`` plugin.
+* :func:`build_bess_forward` wraps a module into one jitted
+  ``(params, batch) -> outputs`` step with `bps` micro-batches handled by an
+  on-device ``lax.scan`` (the analog of poptorch ``deviceIterations``).
+
+Batch layout contract (host side, produced by
+:mod:`besskge_tpu.batch_sampler`): every array is ``(bps, shard, ...)`` with
+axis 1 mapped to the mesh axis; per-device micro-batch blocks are exactly the
+reference's shapes (``bess.py:140-160``):
+
+* ``head``/``relation``/``tail``: (n_shard, positive_per_partition) —
+  local IDs, tails pre-transposed for the AllToAll;
+* ``negative``: (n_shard, B, n_negative) local IDs on this (source) shard,
+  destination-major;
+* ``negative_mask``: (B, n_shard, pad) — processing-device layout;
+* ``triple_mask``: (n_shard, positive_per_partition);
+* ``triple_weight``: (shard_bs,) or scalar.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from besskge_tpu.loss import BaseLossFunction
+from besskge_tpu.metric import Evaluation
+from besskge_tpu.negative_sampler import (
+    ShardedNegativeSampler,
+    TripleBasedShardedNegativeSampler,
+)
+from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
+from besskge_tpu.scoring import BaseScoreFunction
+
+__all__ = [
+    "BAD_NEGATIVE_SCORE",
+    "BessKGE",
+    "EmbeddingMovingBessKGE",
+    "ScoreMovingBessKGE",
+    "build_bess_forward",
+]
+
+#: Sentinel added to masked-out negative scores (reference ``bess.py:31``).
+BAD_NEGATIVE_SCORE = -50000.0
+
+
+class BessKGE(ABC):
+    """Base class for BESS distribution modules.
+
+    To be used with an ``"ht_shardpair"``-partitioned triple set. See
+    reference ``besskge/bess.py:34-305`` for the contract being mirrored.
+
+    :param negative_sampler: sharded negative sampler (defines layouts).
+    :param score_fn: scoring function (owns table shapes).
+    :param loss_fn: loss, required for training.
+    :param evaluation: on-device metrics module.
+    :param return_scores: return positive/negative scores to host.
+    :param augment_negative: use in-batch heads/tails as extra negatives.
+    :param axis_name: mesh axis for collectives; ``None`` = single device
+        (all collectives become identities; requires ``n_shard == 1``).
+    """
+
+    def __init__(
+        self,
+        negative_sampler: ShardedNegativeSampler,
+        score_fn: BaseScoreFunction,
+        loss_fn: Optional[BaseLossFunction] = None,
+        evaluation: Optional[Evaluation] = None,
+        return_scores: bool = False,
+        augment_negative: bool = False,
+        axis_name: Optional[str] = AXIS,
+    ) -> None:
+        self.sharding = score_fn.sharding
+        self.negative_sampler = negative_sampler
+        self.score_fn = score_fn
+        self.loss_fn = loss_fn
+        self.evaluation = evaluation
+        self.return_scores = return_scores
+        self.augment_negative = augment_negative
+        self.axis_name = axis_name
+        if not (loss_fn or evaluation or return_scores):
+            raise ValueError(
+                "Nothing to return. At least one of loss_fn, evaluation or"
+                " return_scores needs to be != None"
+            )
+        if augment_negative:
+            if not score_fn.negative_sample_sharing:
+                raise ValueError(
+                    "Negative augmentation requires negative sample sharing"
+                )
+            if isinstance(self, ScoreMovingBessKGE):
+                raise ValueError(
+                    "ScoreMovingBessKGE does not support negative augmentation"
+                )
+        if negative_sampler.flat_negative_format:
+            if not score_fn.negative_sample_sharing:
+                raise ValueError(
+                    "Using flat negative format requires negative sample sharing"
+                )
+        elif score_fn.negative_sample_sharing and isinstance(
+            negative_sampler, TripleBasedShardedNegativeSampler
+        ):
+            raise ValueError(
+                "Negative sample sharing cannot be used with non-flat"
+                " triple-specific negatives"
+            )
+        if axis_name is None and self.sharding.n_shard != 1:
+            raise ValueError("axis_name=None requires n_shard == 1")
+        self.entity_embedding_size: int = score_fn.entity_row_size
+
+    # ------------------------------------------------------------------
+    # Collectives (identities on the single-device path).
+    def _all_to_all(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.axis_name is None:
+            return x
+        return jax.lax.all_to_all(
+            x, self.axis_name, split_axis=0, concat_axis=0, tiled=True
+        )
+
+    def _all_gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.axis_name is None:
+            return x[None]
+        return jax.lax.all_gather(x, self.axis_name, axis=0, tiled=False)
+
+    def psum(self, x: Any) -> Any:
+        """Sum a (pytree of) per-device value(s) over the mesh axis."""
+        if self.axis_name is None:
+            return x
+        return jax.lax.psum(x, self.axis_name)
+
+    @property
+    def n_embedding_parameters(self) -> int:
+        """Trainable parameters in the (global) embedding tables."""
+        params = self.score_fn.initial_params()
+        return int(
+            np.prod(params["entity_embedding"].shape)
+            + np.prod(params["relation_embedding"].shape)
+        )
+
+    # ------------------------------------------------------------------
+    def forward(
+        self,
+        params: Dict[str, Any],
+        head: jnp.ndarray,
+        relation: jnp.ndarray,
+        tail: jnp.ndarray,
+        negative: jnp.ndarray,
+        triple_mask: Optional[jnp.ndarray] = None,
+        triple_weight: Optional[jnp.ndarray] = None,
+        negative_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """One device's forward for one micro-batch: gather → collectives →
+        score → loss/metrics (reference ``bess.py:117-276``).
+
+        ``params["entity_embedding"]`` must be the LOCAL table shard
+        ``(max_entity_per_shard, row)``. The returned ``loss`` is the
+        device-local (unreduced) value — callers ``psum`` it.
+        """
+        if triple_weight is None:
+            triple_weight = jnp.asarray(1.0, jnp.float32)
+
+        positive_score, negative_score = self.score_batch(
+            params, head, relation, tail, negative, train=train, rng=rng
+        )
+        n_shard, ppp = relation.shape
+        bs = n_shard * ppp
+
+        mask_flat = None
+        if negative_mask is not None:
+            # (B, n_shard_src, pad) -> (B, n_shard_src * pad)
+            mask_flat = negative_mask.reshape(negative_mask.shape[0], -1)
+            if (
+                self.negative_sampler.flat_negative_format
+                and self.negative_sampler.corruption_scheme == "ht"
+            ):
+                cut = ppp // 2
+                width = mask_flat.shape[-1]
+                mask_h = jnp.broadcast_to(
+                    mask_flat[0][None, None, :], (n_shard, cut, width)
+                )
+                mask_t = jnp.broadcast_to(
+                    mask_flat[1][None, None, :], (n_shard, ppp - cut, width)
+                )
+                mask_flat = jnp.concatenate([mask_h, mask_t], axis=1).reshape(
+                    bs, width
+                )
+
+        if self.augment_negative:
+            # Kill the score of each triple's own true head/tail, which was
+            # prepended to the candidate pool (reference ``bess.py:207-238``).
+            n_col = negative_score.shape[1]
+            cols = jnp.arange(n_col, dtype=jnp.int32)[None, :]
+            rows = jnp.arange(bs, dtype=jnp.int32)
+            if self.negative_sampler.flat_negative_format:
+                if self.negative_sampler.corruption_scheme == "ht":
+                    cut = ppp // 2
+                    s_idx, p_idx = rows // ppp, rows % ppp
+                    target = s_idx * cut + p_idx % cut
+                else:
+                    target = rows
+            else:
+                step = 1 + negative.shape[0] * negative.shape[2]
+                target = rows * step
+            aug_mask = cols == target[:, None]
+            if mask_flat is not None:
+                width = mask_flat.shape[-1]
+                aug_mask = jnp.concatenate(
+                    [aug_mask[:, : n_col - width], ~mask_flat], axis=1
+                )
+            negative_score = negative_score + BAD_NEGATIVE_SCORE * aug_mask.astype(
+                negative_score.dtype
+            )
+        elif mask_flat is not None:
+            negative_score = negative_score + BAD_NEGATIVE_SCORE * (
+                ~mask_flat
+            ).astype(negative_score.dtype)
+
+        out: Dict[str, jnp.ndarray] = {}
+        if self.return_scores:
+            out["positive_score"] = positive_score
+            out["negative_score"] = negative_score
+        if self.loss_fn is not None:
+            out["loss"] = self.loss_fn(
+                positive_score.astype(jnp.float32),
+                negative_score.astype(jnp.float32),
+                jnp.asarray(triple_weight, jnp.float32),
+            )
+        if self.evaluation is not None:
+            t_mask = triple_mask.reshape(-1) if triple_mask is not None else None
+            ranks = jax.lax.stop_gradient(
+                self.evaluation.ranks_from_scores(positive_score, negative_score)
+            )
+            if self.evaluation.return_ranks:
+                out["ranks"] = ranks
+            out["metrics"] = self.evaluation.stacked_metrics_from_ranks(
+                ranks, t_mask
+            )
+        return out
+
+    @abstractmethod
+    def score_batch(
+        self,
+        params: Dict[str, Any],
+        head: jnp.ndarray,
+        relation: jnp.ndarray,
+        tail: jnp.ndarray,
+        negative: jnp.ndarray,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Positive (bs,) and negative (bs, n_neg_total) scores for the
+        micro-batch."""
+        raise NotImplementedError
+
+
+class EmbeddingMovingBessKGE(BessKGE):
+    """Score negatives on the head (processing) shard: one fused local gather
+    of [head | tail | negative] rows, one AllToAll moving tail + negative
+    embeddings (reference ``besskge/bess.py:308-468``).
+
+    Preferred for training: per step, exactly one collective whose payload is
+    ``shard_bs + B·n_negative`` embedding rows per shard pair.
+    """
+
+    def score_batch(self, params, head, relation, tail, negative, train=False, rng=None):
+        table = params["entity_embedding"]
+        n_shard, ppp = relation.shape
+        bs = n_shard * ppp
+        d = self.entity_embedding_size
+        scheme = self.negative_sampler.corruption_scheme
+        flat = self.negative_sampler.flat_negative_format
+        b_neg, n_neg = negative.shape[1], negative.shape[2]
+
+        # Fused gather from the local shard (device hot loop #1).
+        neg_flat = negative.reshape(n_shard, -1)
+        gather_idx = jnp.concatenate([head, tail, neg_flat], axis=1)
+        emb = jnp.take(table, gather_idx, axis=0)
+        head_emb = emb[:, :ppp]
+        tail_and_neg = emb[:, ppp:]
+
+        # Single AllToAll over the shard axis (device hot loop #2, ICI).
+        if self.negative_sampler.local_sampling:
+            tail_emb = self._all_to_all(tail_and_neg[:, :ppp])
+            neg_emb = tail_and_neg[:, ppp:]
+        else:
+            moved = self._all_to_all(tail_and_neg)
+            tail_emb = moved[:, :ppp]
+            neg_emb = moved[:, ppp:]
+        # (S, B, n_neg, d) -> (B, S * n_neg, d): source-shard-major pool.
+        neg_emb = (
+            neg_emb.reshape(n_shard, b_neg, n_neg, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(b_neg, n_shard * n_neg, d)
+        )
+
+        positive_score = self.score_fn.score_triple(
+            params,
+            head_emb.reshape(bs, d),
+            relation.reshape(bs),
+            tail_emb.reshape(bs, d),
+            train=train,
+            rng=rng,
+        )
+
+        if scheme == "h":
+            if self.augment_negative:
+                neg_emb = jnp.concatenate(
+                    [head_emb.reshape(neg_emb.shape[0], -1, d), neg_emb], axis=1
+                )
+            negative_score = self.score_fn.score_heads(
+                params,
+                neg_emb,
+                relation.reshape(bs),
+                tail_emb.reshape(bs, d),
+                train=train,
+                rng=rng,
+            )
+        elif scheme == "t":
+            if self.augment_negative:
+                neg_emb = jnp.concatenate(
+                    [tail_emb.reshape(neg_emb.shape[0], -1, d), neg_emb], axis=1
+                )
+            negative_score = self.score_fn.score_tails(
+                params,
+                head_emb.reshape(bs, d),
+                relation.reshape(bs),
+                neg_emb,
+                train=train,
+                rng=rng,
+            )
+        elif scheme == "ht":
+            # First half of each partition: head-corrupted; second: tail-
+            # corrupted (reference ``bess.py:400-466``).
+            cut = ppp // 2
+            rel1 = relation[:, :cut].reshape(-1)
+            rel2 = relation[:, cut:].reshape(-1)
+            h1, h2 = head_emb[:, :cut], head_emb[:, cut:]
+            t1, t2 = tail_emb[:, :cut], tail_emb[:, cut:]
+            if flat:
+                neg_h, neg_t = neg_emb[0:1], neg_emb[1:2]
+            else:
+                ne = neg_emb.reshape(n_shard, ppp, -1, d)
+                neg_h = ne[:, :cut].reshape(n_shard * cut, -1, d)
+                neg_t = ne[:, cut:].reshape(n_shard * (ppp - cut), -1, d)
+            if self.augment_negative:
+                neg_h = jnp.concatenate(
+                    [h1.reshape(neg_h.shape[0], -1, d), neg_h], axis=1
+                )
+                neg_t = jnp.concatenate(
+                    [t2.reshape(neg_t.shape[0], -1, d), neg_t], axis=1
+                )
+            ns_h = self.score_fn.score_heads(
+                params, neg_h, rel1, t1.reshape(-1, d), train=train, rng=rng
+            )
+            ns_t = self.score_fn.score_tails(
+                params, h2.reshape(-1, d), rel2, neg_t, train=train, rng=rng
+            )
+            negative_score = jnp.concatenate(
+                [
+                    ns_h.reshape(n_shard, cut, -1),
+                    ns_t.reshape(n_shard, ppp - cut, -1),
+                ],
+                axis=1,
+            ).reshape(bs, -1)
+        else:
+            raise ValueError(f"Unsupported corruption scheme {scheme}")
+
+        return positive_score, negative_score
+
+
+class ScoreMovingBessKGE(BessKGE):
+    """Score negatives on the shard that stores them: queries are replicated
+    with AllGathers, each shard scores its local negatives against all
+    queries, and an AllToAll returns the scores
+    (reference ``besskge/bess.py:471-603``).
+
+    Cheaper than embedding-moving when negatives are many or rows wide
+    (scores are smaller than embeddings). No local sampling / augmentation.
+    """
+
+    def score_batch(self, params, head, relation, tail, negative, train=False, rng=None):
+        table = params["entity_embedding"]
+        n_shard, ppp = relation.shape
+        bs = n_shard * ppp
+        d = self.entity_embedding_size
+        scheme = self.negative_sampler.corruption_scheme
+        flat = self.negative_sampler.flat_negative_format
+        b_neg, n_neg = negative.shape[1], negative.shape[2]
+
+        neg_flat = negative.reshape(n_shard, -1)
+        gather_idx = jnp.concatenate([head, tail, neg_flat], axis=1)
+        emb = jnp.take(table, gather_idx, axis=0)
+        head_emb = emb[:, :ppp]
+        tail_emb = emb[:, ppp : 2 * ppp]
+        neg_emb = emb[:, 2 * ppp :].reshape(n_shard, b_neg, n_neg, d)
+        if (
+            isinstance(self.negative_sampler, TripleBasedShardedNegativeSampler)
+            and flat
+        ):
+            # Candidate sets are replicated along the destination axis;
+            # score one copy only.
+            neg_emb = neg_emb[0:1]
+
+        relation_all = self._all_gather(relation)  # (S_q, S, ppp)
+
+        if scheme == "h":
+            # Tails are host-pre-transposed; gathered axis is the tail's home
+            # shard -> swap to (query_shard, home_shard, ...) order.
+            tail_all = jnp.swapaxes(self._all_gather(tail_emb), 0, 1)
+            negative_score = self.score_fn.score_heads(
+                params,
+                neg_emb.reshape(-1, n_neg, d),
+                relation_all.reshape(-1),
+                tail_all.reshape(-1, d),
+                train=train,
+                rng=rng,
+            )
+        elif scheme == "t":
+            head_all = self._all_gather(head_emb)
+            negative_score = self.score_fn.score_tails(
+                params,
+                head_all.reshape(-1, d),
+                relation_all.reshape(-1),
+                neg_emb.reshape(-1, n_neg, d),
+                train=train,
+                rng=rng,
+            )
+        elif scheme == "ht":
+            cut = ppp // 2
+            rel1 = relation_all[:, :, :cut].reshape(-1)
+            rel2 = relation_all[:, :, cut:].reshape(-1)
+            tail_all = jnp.swapaxes(
+                self._all_gather(tail_emb[:, :cut]), 0, 1
+            )
+            head_all = self._all_gather(head_emb[:, cut:])
+            if flat:
+                neg_h = neg_emb[:, 0]
+                neg_t = neg_emb[:, 1]
+            else:
+                ne = neg_emb.reshape(n_shard, n_shard, ppp, n_neg, d)
+                neg_h = ne[:, :, :cut].reshape(-1, n_neg, d)
+                neg_t = ne[:, :, cut:].reshape(-1, n_neg, d)
+            ns_h = self.score_fn.score_heads(
+                params, neg_h, rel1, tail_all.reshape(-1, d), train=train, rng=rng
+            )
+            ns_t = self.score_fn.score_tails(
+                params, head_all.reshape(-1, d), rel2, neg_t, train=train, rng=rng
+            )
+            negative_score = jnp.concatenate(
+                [
+                    ns_h.reshape(n_shard, n_shard, cut, -1),
+                    ns_t.reshape(n_shard, n_shard, ppp - cut, -1),
+                ],
+                axis=2,
+            ).reshape(n_shard * bs, -1)
+        else:
+            raise ValueError(f"Unsupported corruption scheme {scheme}")
+
+        # Return scores to the query's device (source-shard-major columns).
+        negative_score = self._all_to_all(
+            negative_score.reshape(n_shard, bs, -1)
+        )
+        negative_score = jnp.swapaxes(negative_score, 0, 1).reshape(bs, -1)
+
+        # Recover micro-batch tail embeddings for the positive scores.
+        tail_emb = self._all_to_all(tail_emb)
+        positive_score = self.score_fn.score_triple(
+            params,
+            head_emb.reshape(bs, d),
+            relation.reshape(bs),
+            tail_emb.reshape(bs, d),
+            train=train,
+            rng=rng,
+        )
+        return positive_score, negative_score
+
+
+# ----------------------------------------------------------------------
+# Jitted step builders.
+
+_FORWARD_KEYS = (
+    "head",
+    "relation",
+    "tail",
+    "negative",
+    "triple_mask",
+    "triple_weight",
+    "negative_mask",
+)
+
+
+def _device_step(bess: BessKGE, params, batch, train=False, rng=None):
+    """Device code: loop the `bps` micro-batches of a sharded batch dict.
+
+    ``params["entity_embedding"]`` is the (1, max_ent, row) block; batch
+    arrays are (bps, 1, ...) blocks.
+    """
+    local = dict(params)
+    local["entity_embedding"] = params["entity_embedding"][0]
+    mbs = {k: v[:, 0] for k, v in batch.items() if k in _FORWARD_KEYS}
+    bps = next(iter(mbs.values())).shape[0]
+    rngs = (
+        jax.random.split(rng, bps)
+        if rng is not None
+        else jnp.zeros((bps, 2), jnp.uint32)
+    )
+
+    def body(_, inp):
+        mb, step_rng = inp
+        out = bess.forward(
+            local, train=train, rng=step_rng if rng is not None else None, **mb
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (mbs, rngs))
+    return outs  # each leaf: (bps, ...)
+
+
+def _format_outputs(bess: BessKGE, outs):
+    """Per-device stacked outputs -> blocks matching the out partition specs
+    (insert the size-1 device axis; psum reduced quantities)."""
+    formatted = {}
+    if "loss" in outs:
+        formatted["loss"] = bess.psum(jnp.sum(outs["loss"]))
+    for key in ("positive_score", "negative_score", "ranks"):
+        if key in outs:
+            formatted[key] = outs[key][:, None]
+    if "metrics" in outs:
+        m = outs["metrics"]  # (bps, 1, n_metric[, bs])
+        if m.ndim == 3:  # "sum" reduction -> psum to global sums
+            formatted["metrics"] = bess.psum(m)
+        else:
+            formatted["metrics"] = m
+    return formatted
+
+
+def _out_specs(bess: BessKGE):
+    specs: Dict[str, P] = {}
+    if bess.loss_fn is not None:
+        specs["loss"] = P()
+    if bess.return_scores:
+        specs["positive_score"] = P(None, AXIS)
+        specs["negative_score"] = P(None, AXIS)
+    if bess.evaluation is not None:
+        if bess.evaluation.return_ranks:
+            specs["ranks"] = P(None, AXIS)
+        reduced = bess.evaluation.reduction(jnp.zeros((2,))).ndim == 0
+        specs["metrics"] = P() if reduced else P(None, AXIS)
+    return specs
+
+
+def build_bess_forward(
+    bess: BessKGE,
+    mesh: Optional[Mesh] = None,
+    train: bool = False,
+):
+    """Build the jitted forward step ``fn(params, batch[, rng]) -> outputs``.
+
+    With a mesh, the step is ``jit(shard_map(...))`` over the ``("shard",)``
+    axis; without, a plain ``jit`` (requires ``bess.axis_name is None`` and
+    ``n_shard == 1``).
+
+    Outputs: ``loss`` () global sum; ``positive_score`` (bps, n_shard, bs);
+    ``negative_score`` (bps, n_shard, bs, n_col); ``ranks`` same as scores;
+    ``metrics`` (bps, 1, n_metric) global sums (sum reduction) or
+    (bps, n_shard, n_metric, bs).
+    """
+    if mesh is None:
+        if bess.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+
+        @jax.jit
+        def single_fn(params, batch, rng=None):
+            blocked = dict(params)
+            # Match the block convention: table keeps its leading shard axis.
+            outs = _device_step(bess, blocked, batch, train=train, rng=rng)
+            return _format_outputs(bess, outs)
+
+        return single_fn
+
+    def sharded_step(params, batch, rng=None):
+        outs = _device_step(bess, params, batch, train=train, rng=rng)
+        return _format_outputs(bess, outs)
+
+    @jax.jit
+    def fn(params, batch, rng=None):
+        fwd_batch = {k: v for k, v in batch.items() if k in _FORWARD_KEYS}
+        p_specs = param_partition_specs(params)
+        b_specs = batch_partition_specs(fwd_batch)
+        if rng is None:
+            mapped = jax.shard_map(
+                sharded_step,
+                mesh=mesh,
+                in_specs=(p_specs, b_specs),
+                out_specs=_out_specs(bess),
+                check_vma=False,
+            )
+            return mapped(params, fwd_batch)
+        mapped = jax.shard_map(
+            partial(sharded_step),
+            mesh=mesh,
+            in_specs=(p_specs, b_specs, P()),
+            out_specs=_out_specs(bess),
+            check_vma=False,
+        )
+        return mapped(params, fwd_batch, rng)
+
+    return fn
