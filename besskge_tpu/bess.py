@@ -44,18 +44,24 @@ from jax.sharding import Mesh, PartitionSpec as P
 from besskge_tpu.loss import BaseLossFunction
 from besskge_tpu.metric import Evaluation
 from besskge_tpu.negative_sampler import (
+    PlaceholderNegativeSampler,
     ShardedNegativeSampler,
     TripleBasedShardedNegativeSampler,
 )
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
 from besskge_tpu.scoring import BaseScoreFunction
+from besskge_tpu.utils import gather_indices
 
 __all__ = [
     "BAD_NEGATIVE_SCORE",
     "BessKGE",
     "EmbeddingMovingBessKGE",
     "ScoreMovingBessKGE",
+    "TopKQueryBessKGE",
+    "AllScoresBESS",
     "build_bess_forward",
+    "build_topk_forward",
+    "build_allscores_forward",
 ]
 
 #: Sentinel added to masked-out negative scores (reference ``bess.py:31``).
@@ -495,6 +501,293 @@ class ScoreMovingBessKGE(BessKGE):
         return positive_score, negative_score
 
 
+class TopKQueryBessKGE:
+    """Distributed top-k completion of (h, r, ?) / (?, r, t) queries against
+    all entities or candidate sets (reference ``besskge/bess.py:606-921``).
+
+    Use with an ``"h_shard"``/``"t_shard"``-partitioned triple set. Queries
+    are replicated via AllGather; each shard streams a sliding window over
+    its local entities in an on-device ``lax.fori_loop`` — the reference's
+    ``poptorch.for_loop`` — keeping a running top-(k+1) merge, then one
+    AllToAll returns the per-shard bests. Inference only.
+
+    :param k: number of completions to return per query.
+    :param candidate_sampler: :class:`PlaceholderNegativeSampler` to score
+        against every entity, or a :class:`TripleBasedShardedNegativeSampler`
+        with ``mask_on_gather=True`` for candidate sets.
+    :param score_fn: scoring function.
+    :param evaluation: optional on-device metrics (needs ground truth).
+    :param return_scores: return the top-k scores too.
+    :param window_size: entities scored per query per loop iteration.
+    :param axis_name: see :class:`BessKGE`.
+    """
+
+    def __init__(
+        self,
+        k: int,
+        candidate_sampler: ShardedNegativeSampler,
+        score_fn: BaseScoreFunction,
+        evaluation: Optional[Evaluation] = None,
+        return_scores: bool = False,
+        window_size: int = 100,
+        axis_name: Optional[str] = AXIS,
+    ) -> None:
+        self.sharding = score_fn.sharding
+        self.negative_sampler = candidate_sampler
+        self.score_fn = score_fn
+        self.evaluation = evaluation
+        self.return_scores = return_scores
+        self.k = k
+        self.window_size = window_size
+        self.axis_name = axis_name
+        if candidate_sampler.flat_negative_format:
+            if not score_fn.negative_sample_sharing:
+                raise ValueError(
+                    "Using flat negative format requires negative sample sharing"
+                )
+        elif score_fn.negative_sample_sharing:
+            raise ValueError(
+                "Negative sample sharing cannot be used with non-flat"
+                " triple-specific negatives"
+            )
+        if candidate_sampler.corruption_scheme not in ("h", "t"):
+            raise ValueError(
+                "TopKQueryBessKGE only supports 'h', 't' corruption scheme"
+            )
+        if isinstance(candidate_sampler, TripleBasedShardedNegativeSampler):
+            if not candidate_sampler.mask_on_gather:
+                raise ValueError(
+                    "TopKQueryBessKGE requires mask_on_gather=True in the"
+                    " candidate_sampler"
+                )
+        if axis_name is None and self.sharding.n_shard != 1:
+            raise ValueError("axis_name=None requires n_shard == 1")
+        self.entity_embedding_size = score_fn.entity_row_size
+        self.loss_fn = None  # uniform interface for _out_specs
+
+    _all_to_all = BessKGE._all_to_all
+    _all_gather = BessKGE._all_gather
+    psum = BessKGE.psum
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        relation: jnp.ndarray,
+        head: Optional[jnp.ndarray] = None,
+        tail: Optional[jnp.ndarray] = None,
+        negative: Optional[jnp.ndarray] = None,
+        triple_mask: Optional[jnp.ndarray] = None,
+        negative_mask: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Device code for one micro-batch of queries.
+
+        :param relation: (shard_bs,) relation IDs of this device's queries.
+        :param head/tail: (shard_bs,) local IDs of the known entity (the
+            other is the ground truth — global IDs — or absent).
+        :param negative: (n_shard_dest, B, pad) local candidate IDs
+            (gather-device layout), or None to use all local entities.
+        :param negative_mask: (n_shard_dest, B, pad) validity mask.
+        """
+        table = params["entity_embedding"]
+        sharding = self.sharding
+        n_shard = sharding.n_shard
+        shard_bs = relation.shape[0]
+        n_best = self.k + 1
+        scheme = self.negative_sampler.corruption_scheme
+
+        if negative is None:
+            candidate = jnp.arange(
+                sharding.max_entity_per_shard, dtype=jnp.int32
+            )[None, :]
+            mask_rows = None
+        else:
+            if negative_mask is None:
+                raise ValueError("Candidate sets require a negative_mask")
+            if self.negative_sampler.flat_negative_format:
+                negative = negative[0]
+                negative_mask = negative_mask[0]
+            candidate = negative.reshape(-1, negative.shape[-1])
+            mask_rows = negative_mask.reshape(-1, negative_mask.shape[-1])
+        n_candidate = candidate.shape[-1]
+
+        relation_all = self._all_gather(relation).reshape(-1)
+        if scheme == "h":
+            known_emb_all = self._all_gather(jnp.take(table, tail, axis=0))
+        else:
+            known_emb_all = self._all_gather(jnp.take(table, head, axis=0))
+        known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
+
+        def loop_body(i, carry):
+            curr_score, curr_idx = carry
+            slide = (
+                i * self.window_size
+                + jnp.arange(self.window_size, dtype=jnp.int32)
+            )[None, :]
+            valid = slide < n_candidate
+            slide = jnp.where(valid, slide, n_candidate - 1)
+            if mask_rows is not None:
+                valid = jnp.logical_and(
+                    valid, gather_indices(mask_rows, slide)
+                )
+            neg_ent_idx = gather_indices(candidate, slide)
+            neg_emb = jnp.take(table, neg_ent_idx, axis=0)
+            if scheme == "h":
+                negative_score = self.score_fn.score_heads(
+                    params, neg_emb, relation_all, known_emb_all
+                )
+            else:
+                negative_score = self.score_fn.score_tails(
+                    params, known_emb_all, relation_all, neg_emb
+                )
+            negative_score = negative_score + BAD_NEGATIVE_SCORE * (
+                ~valid
+            ).astype(negative_score.dtype)
+            merged = jnp.concatenate([negative_score, curr_score], axis=1)
+            top_scores, top_pos = jax.lax.top_k(merged, n_best)
+            idx_broad = jnp.broadcast_to(neg_ent_idx, negative_score.shape)
+            all_idx = jnp.concatenate([idx_broad, curr_idx], axis=1)
+            new_idx = jnp.take_along_axis(all_idx, top_pos, axis=1)
+            return top_scores, new_idx
+
+        total_bs = n_shard * shard_bs
+        init_score = jnp.full(
+            (total_bs, n_best), BAD_NEGATIVE_SCORE, dtype=table.dtype
+        )
+        init_idx = jnp.full(
+            (total_bs, n_best), sharding.max_entity_per_shard, dtype=jnp.int32
+        )
+        n_rep = int(np.ceil(n_candidate / self.window_size))
+        best_score, best_idx = jax.lax.fori_loop(
+            0, n_rep, loop_body, (init_score, init_idx)
+        )
+
+        # Return each query's per-shard bests to its home device.
+        best_score = self._all_to_all(
+            best_score.reshape(n_shard, shard_bs, n_best)
+        )
+        best_idx = self._all_to_all(best_idx.reshape(n_shard, shard_bs, n_best))
+
+        # Kill padding-entity scores (per source shard).
+        counts = jnp.asarray(sharding.shard_counts, jnp.int32)[:, None, None]
+        best_score = best_score + BAD_NEGATIVE_SCORE * (
+            best_idx >= counts
+        ).astype(best_score.dtype)
+
+        # Local -> global IDs through the sharding map.
+        s2e = jnp.asarray(sharding.shard_and_idx_to_entity, jnp.int32)
+        safe_idx = jnp.minimum(best_idx, sharding.max_entity_per_shard - 1)
+        best_global = gather_indices(
+            s2e, safe_idx.reshape(n_shard, -1)
+        ).reshape(n_shard, shard_bs, n_best)
+        best_global = jnp.swapaxes(best_global, 0, 1).reshape(shard_bs, -1)
+
+        final_scores, final_pos = jax.lax.top_k(
+            jnp.swapaxes(best_score, 0, 1).reshape(shard_bs, -1), self.k
+        )
+        topk_global_id = jnp.take_along_axis(best_global, final_pos, axis=1)
+
+        out: Dict[str, jnp.ndarray] = {"topk_global_id": topk_global_id}
+        if self.return_scores:
+            out["topk_scores"] = final_scores
+        if self.evaluation is not None:
+            ground_truth = tail if scheme == "t" else head
+            if ground_truth is None:
+                raise ValueError(
+                    "Evaluation requires providing ground truth entities"
+                )
+            ranks = self.evaluation.ranks_from_indices(
+                ground_truth, topk_global_id
+            )
+            if self.evaluation.return_ranks:
+                out["ranks"] = ranks
+            out["metrics"] = self.evaluation.stacked_metrics_from_ranks(
+                ranks, triple_mask
+            )
+        return out
+
+
+class AllScoresBESS:
+    """Distributed scoring of (h, r, ?) / (?, r, t) queries against a window
+    of every shard's entities; the host stitches the full score matrix
+    (reference ``besskge/bess.py:924-1062``). Use through
+    :class:`besskge_tpu.pipeline.AllScoresPipeline`. Inference only.
+    """
+
+    def __init__(
+        self,
+        candidate_sampler: PlaceholderNegativeSampler,
+        score_fn: BaseScoreFunction,
+        window_size: int = 1000,
+        axis_name: Optional[str] = AXIS,
+    ) -> None:
+        self.sharding = score_fn.sharding
+        self.score_fn = score_fn
+        self.negative_sampler = candidate_sampler
+        self.window_size = window_size
+        self.axis_name = axis_name
+        if not score_fn.negative_sample_sharing:
+            raise ValueError("AllScoresBESS requires negative sample sharing")
+        if candidate_sampler.corruption_scheme not in ("h", "t"):
+            raise ValueError("AllScoresBESS only supports 'h', 't' corruption")
+        if not isinstance(candidate_sampler, PlaceholderNegativeSampler):
+            raise ValueError(
+                "AllScoresBESS requires a PlaceholderNegativeSampler"
+            )
+        if axis_name is None and self.sharding.n_shard != 1:
+            raise ValueError("axis_name=None requires n_shard == 1")
+        self.entity_embedding_size = score_fn.entity_row_size
+        self.n_step = int(
+            np.ceil(self.sharding.max_entity_per_shard / window_size)
+        )
+
+    _all_to_all = BessKGE._all_to_all
+    _all_gather = BessKGE._all_gather
+    psum = BessKGE.psum
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        step: jnp.ndarray,
+        relation: jnp.ndarray,
+        head: Optional[jnp.ndarray] = None,
+        tail: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Scores (shard_bs, n_shard * window) for window ``step`` of every
+        shard's local entities, for this device's queries."""
+        table = params["entity_embedding"]
+        n_shard = self.sharding.n_shard
+        shard_bs = relation.shape[0]
+        scheme = self.negative_sampler.corruption_scheme
+
+        relation_all = self._all_gather(relation).reshape(-1)
+        known = tail if scheme == "h" else head
+        known_emb_all = self._all_gather(
+            jnp.take(table, known, axis=0)
+        ).reshape(-1, self.entity_embedding_size)
+
+        ent_slice = jnp.minimum(
+            step * self.window_size
+            + jnp.arange(self.window_size, dtype=jnp.int32),
+            self.sharding.max_entity_per_shard - 1,
+        )
+        neg_emb = jnp.take(table, ent_slice, axis=0)[None]
+
+        if scheme == "h":
+            scores = self.score_fn.score_heads(
+                params, neg_emb, relation_all, known_emb_all
+            )
+        else:
+            scores = self.score_fn.score_tails(
+                params, known_emb_all, relation_all, neg_emb
+            )
+        scores = self._all_to_all(
+            scores.reshape(n_shard, shard_bs, self.window_size)
+        )
+        return jnp.swapaxes(scores, 0, 1).reshape(shard_bs, -1)
+
+
 # ----------------------------------------------------------------------
 # Jitted step builders.
 
@@ -517,6 +810,9 @@ def _device_step(bess: BessKGE, params, batch, train=False, rng=None):
     """
     local = dict(params)
     local["entity_embedding"] = params["entity_embedding"][0]
+    if rng is not None and bess.axis_name is not None:
+        # Per-device dropout streams.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(bess.axis_name))
     mbs = {k: v[:, 0] for k, v in batch.items() if k in _FORWARD_KEYS}
     bps = next(iter(mbs.values())).shape[0]
     rngs = (
@@ -624,5 +920,118 @@ def build_bess_forward(
             check_vma=False,
         )
         return mapped(params, fwd_batch, rng)
+
+    return fn
+
+
+_TOPK_KEYS = (
+    "head",
+    "relation",
+    "tail",
+    "negative",
+    "triple_mask",
+    "negative_mask",
+)
+
+
+def build_topk_forward(topk: TopKQueryBessKGE, mesh: Optional[Mesh] = None):
+    """Build the jitted top-k query step ``fn(params, batch) -> outputs``.
+
+    Outputs: ``topk_global_id`` (bps, n_shard, shard_bs, k) and optionally
+    ``topk_scores``, ``ranks``, ``metrics``.
+    """
+
+    def device_step(params, batch):
+        local = dict(params)
+        local["entity_embedding"] = params["entity_embedding"][0]
+        mbs = {k: v[:, 0] for k, v in batch.items() if k in _TOPK_KEYS}
+
+        def body(_, mb):
+            return None, topk.forward(local, **mb)
+
+        _, outs = jax.lax.scan(body, None, mbs)
+        formatted = {}
+        for key in ("topk_global_id", "topk_scores", "ranks"):
+            if key in outs:
+                formatted[key] = outs[key][:, None]
+        if "metrics" in outs:
+            m = outs["metrics"]
+            formatted["metrics"] = topk.psum(m) if m.ndim == 3 else m
+        return formatted
+
+    def out_specs():
+        specs = {"topk_global_id": P(None, AXIS)}
+        if topk.return_scores:
+            specs["topk_scores"] = P(None, AXIS)
+        if topk.evaluation is not None:
+            if topk.evaluation.return_ranks:
+                specs["ranks"] = P(None, AXIS)
+            reduced = topk.evaluation.reduction(jnp.zeros((2,))).ndim == 0
+            specs["metrics"] = P() if reduced else P(None, AXIS)
+        return specs
+
+    if mesh is None:
+        if topk.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+        return jax.jit(device_step)
+
+    @jax.jit
+    def fn(params, batch):
+        fwd_batch = {k: v for k, v in batch.items() if k in _TOPK_KEYS}
+        mapped = jax.shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(
+                param_partition_specs(params),
+                batch_partition_specs(fwd_batch),
+            ),
+            out_specs=out_specs(),
+            check_vma=False,
+        )
+        return mapped(params, fwd_batch)
+
+    return fn
+
+
+def build_allscores_forward(
+    allscores: AllScoresBESS, mesh: Optional[Mesh] = None
+):
+    """Build ``fn(params, batch, step) -> scores`` with
+    scores (bps, n_shard, shard_bs, n_shard*window)."""
+
+    def device_step(params, batch, step):
+        local = dict(params)
+        local["entity_embedding"] = params["entity_embedding"][0]
+        keys = ("relation", "head", "tail")
+        mbs = {k: v[:, 0] for k, v in batch.items() if k in keys}
+
+        def body(_, mb):
+            return None, allscores.forward(local, step, **mb)
+
+        _, outs = jax.lax.scan(body, None, mbs)
+        return outs[:, None]  # (bps, 1, shard_bs, S*window)
+
+    if mesh is None:
+        if allscores.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+        return jax.jit(device_step)
+
+    @jax.jit
+    def fn(params, batch, step):
+        fwd_batch = {
+            k: v for k, v in batch.items() if k in ("relation", "head", "tail")
+        }
+        mapped = jax.shard_map(
+            device_step,
+            mesh=mesh,
+            in_specs=(
+                param_partition_specs(params),
+                batch_partition_specs(fwd_batch),
+                P(),
+            ),
+            out_specs=P(None, AXIS),
+            check_vma=False,
+        )
+        return mapped(params, fwd_batch, step)
 
     return fn

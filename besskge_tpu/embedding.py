@@ -41,7 +41,7 @@ def init_uniform(
 ) -> NDArray[np.float32]:
     """Plain uniform [0, 1) (the reference's ``torch.nn.init.uniform_``
     default, used by BoxE)."""
-    return rng.uniform(size=shape).astype(np.float32)
+    return rng.random(size=tuple(shape), dtype=np.float32)
 
 
 def init_zeros(
@@ -56,9 +56,9 @@ def init_uniform_norm(
 ) -> NDArray[np.float32]:
     """Uniform [0,1) rows normalized to unit L2 norm
     (reference ``besskge/embedding.py:15-28``)."""
-    x = rng.uniform(size=shape)
-    norm = np.linalg.norm(x, axis=-1, keepdims=True)
-    return (x / np.maximum(norm, 1e-12)).astype(np.float32)
+    x = rng.random(size=tuple(shape), dtype=np.float32)
+    norm = np.linalg.norm(x, axis=-1, keepdims=True).astype(np.float32)
+    return x / np.maximum(norm, np.float32(1e-12))
 
 
 def init_xavier_norm(
@@ -67,7 +67,7 @@ def init_xavier_norm(
     """Xavier/Glorot normal over the last dimension
     (reference ``besskge/embedding.py:31-47``)."""
     std = gain * float(np.sqrt(2.0 / (shape[-1] + 1)))
-    return rng.normal(0.0, std, size=shape).astype(np.float32)
+    return rng.standard_normal(tuple(shape), dtype=np.float32) * np.float32(std)
 
 
 def init_uniform_rotation(
@@ -75,7 +75,7 @@ def init_uniform_rotation(
 ) -> NDArray[np.float32]:
     """Uniform rotation phases in [0, 2π)
     (reference ``besskge/embedding.py:50-62``)."""
-    return rng.uniform(0.0, 2.0 * np.pi, size=shape).astype(np.float32)
+    return rng.random(size=tuple(shape), dtype=np.float32) * np.float32(2.0 * np.pi)
 
 
 def init_KGE_uniform(
@@ -86,7 +86,8 @@ def init_KGE_uniform(
     (reference ``besskge/embedding.py:65-84``)."""
     if divide_by_embedding_size:
         b = b / shape[-1]
-    return rng.uniform(-b, b, size=shape).astype(np.float32)
+    x = rng.random(size=tuple(shape), dtype=np.float32)
+    return (2.0 * x - 1.0) * np.float32(b)
 
 
 def init_KGE_normal(
@@ -97,7 +98,7 @@ def init_KGE_normal(
     (reference ``besskge/embedding.py:87-104``)."""
     if divide_by_embedding_size:
         std = std / shape[-1]
-    return rng.normal(0.0, std, size=shape).astype(np.float32)
+    return rng.standard_normal(tuple(shape), dtype=np.float32) * np.float32(std)
 
 
 def _build_sliced(

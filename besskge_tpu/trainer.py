@@ -1,0 +1,235 @@
+"""Training step and loop for BESS-KGE on a TPU mesh.
+
+Productizes the training recipe that the reference leaves to user notebooks
+(``/root/reference/notebooks/1_biokg_training_inference.ipynb`` cells 26-29)
+as a ``Trainer`` with a jitted ``shard_map`` train step:
+
+* the whole step — gather → AllToAll → score → loss → backward → optimizer —
+  is ONE compiled device program; gradients flow through the collectives via
+  their AD transposes, so the entity-table gradient and optimizer state stay
+  shard-local (the reference needed a C++ PopART pattern for this,
+  ``custom_ops/remove_all_reduce_pattern.cpp``);
+* gradients of replicated parameters (relation table, ConvE trunk) are
+  ``psum``-reduced over the mesh axis — the data-parallel reduction that
+  PopTorch applied implicitly;
+* `bps` micro-batches per step run in an on-device ``lax.scan`` (the analog
+  of ``deviceIterations × gradientAccumulation``), accumulating gradients.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from besskge_tpu.batch_sampler import ShardedBatchSampler
+from besskge_tpu.bess import BessKGE, _device_step, _format_outputs, _out_specs
+from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
+
+__all__ = ["build_train_step", "init_optimizer_state", "Trainer"]
+
+Params = Dict[str, Any]
+
+
+def _opt_state_specs(opt_state: Any, entity_shape: Tuple[int, ...]) -> Any:
+    """Optimizer-state leaves that mirror the entity table (Adam moments,
+    momentum, ...) are sharded like it; everything else is replicated."""
+    return jax.tree.map(
+        lambda leaf: P(AXIS)
+        if hasattr(leaf, "shape") and tuple(leaf.shape) == tuple(entity_shape)
+        else P(),
+        opt_state,
+    )
+
+
+def init_optimizer_state(
+    optimizer: optax.GradientTransformation,
+    params: Params,
+    mesh: Optional[Mesh] = None,
+) -> Any:
+    """Initialize optimizer state; on a mesh, entity-table moments inherit
+    the table's sharding (one block per device, never communicated)."""
+    if mesh is None:
+        return jax.jit(optimizer.init)(params)
+    out_specs = None
+
+    def _init(p):
+        return optimizer.init(p)
+
+    state_shape = jax.eval_shape(_init, params)
+    entity_shape = params["entity_embedding"].shape
+    out_specs = _opt_state_specs(state_shape, entity_shape)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), out_specs)
+    return jax.jit(_init, out_shardings=shardings)(params)
+
+
+def build_train_step(
+    bess: BessKGE,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Build ``fn(params, opt_state, batch[, rng]) -> (params, opt_state,
+    outputs)`` — the full BESS training step, jitted over the mesh.
+
+    ``outputs`` contains the psum'd global ``loss`` plus whatever the module
+    config produces (metrics, scores).
+    """
+
+    def device_train_step(params, opt_state, batch, rng=None):
+        def loss_fn(p):
+            outs = _device_step(bess, p, batch, train=True, rng=rng)
+            return jnp.sum(outs["loss"]), outs
+
+        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # Data-parallel reduction for replicated params only: the entity
+        # table's gradient is complete shard-locally (AllToAll transpose).
+        grads = {
+            k: (g if k == "entity_embedding" else bess.psum(g))
+            for k, g in grads.items()
+        }
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, _format_outputs(bess, outs)
+
+    if mesh is None:
+        if bess.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+        return jax.jit(device_train_step, donate_argnums=(0, 1))
+
+    @jax.jit
+    def fn(params, opt_state, batch, rng=None):
+        from besskge_tpu.bess import _FORWARD_KEYS
+
+        fwd_batch = {k: v for k, v in batch.items() if k in _FORWARD_KEYS}
+        p_specs = param_partition_specs(params)
+        o_specs = _opt_state_specs(opt_state, params["entity_embedding"].shape)
+        b_specs = batch_partition_specs(fwd_batch)
+        out_specs = (p_specs, o_specs, _out_specs(bess))
+        if rng is None:
+            mapped = jax.shard_map(
+                device_train_step,
+                mesh=mesh,
+                in_specs=(p_specs, o_specs, b_specs),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+            return mapped(params, opt_state, fwd_batch)
+        mapped = jax.shard_map(
+            device_train_step,
+            mesh=mesh,
+            in_specs=(p_specs, o_specs, b_specs, P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return mapped(params, opt_state, fwd_batch, rng)
+
+    return fn
+
+
+class Trainer:
+    """End-to-end training driver.
+
+    :param bess: the BESS module (must have a ``loss_fn``).
+    :param batch_sampler: host-side batch stream.
+    :param optimizer: any optax transformation (AdamW, SGDM, ...).
+    :param mesh: device mesh; ``None`` for the single-device path.
+    :param params: initial params; defaults to ``score_fn.initial_params()``.
+    :param seed: rng seed for dropout streams.
+    """
+
+    def __init__(
+        self,
+        bess: BessKGE,
+        batch_sampler: ShardedBatchSampler,
+        optimizer: optax.GradientTransformation,
+        mesh: Optional[Mesh] = None,
+        params: Optional[Params] = None,
+        seed: int = 0,
+    ) -> None:
+        if bess.loss_fn is None:
+            raise ValueError("Training requires a loss_fn on the BESS module")
+        self.bess = bess
+        self.batch_sampler = batch_sampler
+        self.optimizer = optimizer
+        self.mesh = mesh
+        raw = params if params is not None else bess.score_fn.initial_params()
+        if mesh is not None:
+            from besskge_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(
+                jax.tree.map(jnp.asarray, raw), mesh
+            )
+        else:
+            self.params = jax.tree.map(jnp.asarray, raw)
+        self.opt_state = init_optimizer_state(optimizer, self.params, mesh)
+        self.train_step = build_train_step(bess, optimizer, mesh)
+        self.rng = jax.random.PRNGKey(seed)
+        from besskge_tpu.scoring import ConvE
+
+        self.needs_rng = isinstance(bess.score_fn, ConvE)
+        self.history: list = []
+
+    def fit(
+        self,
+        n_epochs: int = 1,
+        shuffle: bool = True,
+        log_every: int = 0,
+        callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
+    ) -> Dict[str, Any]:
+        """Run ``n_epochs`` over the sampler; returns summary stats.
+
+        The numpy batch assembly runs in a background thread
+        (:meth:`ShardedBatchSampler.get_dataloader`), overlapping device
+        execution — the TPU analog of poptorch's async dataloader.
+        """
+        step = 0
+        triples_per_step = (
+            self.batch_sampler.batches_per_step
+            * self.batch_sampler.n_shard
+            * self.batch_sampler.shard_bs
+        )
+        last_loss = float("nan")
+        t0 = time.perf_counter()
+        for epoch in range(n_epochs):
+            for batch in self.batch_sampler.get_dataloader(
+                shuffle=shuffle, seed_offset=epoch
+            ):
+                jbatch = self._put(batch)
+                if self.needs_rng:
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.params, self.opt_state, out = self.train_step(
+                        self.params, self.opt_state, jbatch, sub
+                    )
+                else:
+                    self.params, self.opt_state, out = self.train_step(
+                        self.params, self.opt_state, jbatch
+                    )
+                step += 1
+                if log_every and step % log_every == 0:
+                    last_loss = float(out["loss"])
+                    rec = {"step": step, "epoch": epoch, "loss": last_loss}
+                    self.history.append(rec)
+                    if callback:
+                        callback(step, rec)
+        if "out" in dir():
+            last_loss = float(out["loss"])
+        elapsed = time.perf_counter() - t0
+        return {
+            "steps": step,
+            "epochs": n_epochs,
+            "final_loss": last_loss,
+            "wall_time_s": elapsed,
+            "triples_per_s": step * triples_per_step / max(elapsed, 1e-9),
+        }
+
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from besskge_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(batch, self.mesh)

@@ -1,0 +1,249 @@
+"""Golden tests for the windowed top-k and all-scores inference paths.
+
+Distributed top-k on the 4-device CPU mesh vs the exact top-k from the full
+unsharded score matrix (analog of reference
+``/root/reference/tests/test_bess.py:285-423``, which requires IPU hardware —
+here the loop compiles fine on the emulated mesh).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from besskge_tpu.batch_sampler import RigidShardedBatchSampler
+from besskge_tpu.bess import (
+    AllScoresBESS,
+    TopKQueryBessKGE,
+    build_allscores_forward,
+    build_topk_forward,
+)
+from besskge_tpu.dataset import KGDataset
+from besskge_tpu.metric import Evaluation
+from besskge_tpu.negative_sampler import (
+    PlaceholderNegativeSampler,
+    TripleBasedShardedNegativeSampler,
+)
+from besskge_tpu.parallel import make_shard_mesh
+from besskge_tpu.scoring import ComplEx
+from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+
+SEED = 99
+N_ENTITY = 320
+N_RELATION = 6
+N_SHARD = 4
+N_QUERY = 256
+EMB = 16
+K = 10
+
+rng = np.random.default_rng(SEED)
+sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+entity_table = rng.normal(
+    size=(N_SHARD, sharding.max_entity_per_shard, 2 * EMB)
+).astype(np.float32)
+relation_table = rng.normal(size=(N_RELATION, 2 * EMB)).astype(np.float32)
+flat_table = entity_table[sharding.entity_to_shard, sharding.entity_to_idx]
+
+query_h = rng.integers(N_ENTITY, size=N_QUERY)
+query_r = rng.integers(N_RELATION, size=N_QUERY)
+ground_truth = rng.integers(N_ENTITY, size=N_QUERY)
+
+ds = KGDataset(
+    n_entity=N_ENTITY,
+    n_relation_type=N_RELATION,
+    entity_dict=None,
+    relation_dict=None,
+    type_offsets=None,
+    triples={"test": np.zeros((1, 3), np.int32)},
+    original_triple_ids={"test": np.arange(1)},
+    neg_heads=None,
+    neg_tails=None,
+)
+
+
+def _score_fn(sharing=True):
+    return ComplEx(
+        negative_sample_sharing=sharing,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=EMB,
+        entity_initializer=entity_table,
+        relation_initializer=relation_table,
+    )
+
+
+def _golden_scores():
+    score_fn = _score_fn()
+    g_params = {"relation_embedding": jnp.asarray(relation_table)}
+    return np.asarray(
+        score_fn.score_tails(
+            g_params,
+            jnp.asarray(flat_table[query_h]),
+            jnp.asarray(query_r.astype(np.int32)),
+            jnp.asarray(flat_table)[None],
+        )
+    )  # (N_QUERY, N_ENTITY)
+
+
+def _run_batches(bs, fwd, params, collect):
+    """Iterate one epoch, collecting per-triple outputs with masking."""
+    for block in bs.epoch_index_blocks(shuffle=False):
+        batch = bs.sample_batch(block)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = fwd(params, jbatch)
+        collect(batch, {k: np.asarray(v) for k, v in out.items()})
+
+
+def test_topk_vs_all_entities():
+    score_fn = _score_fn()
+    queries = np.stack([query_h, query_r], 1).astype(np.int32)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds, sharding, queries, "hr", ground_truth=ground_truth.astype(np.int32)
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=SEED)
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=2, seed=SEED,
+        return_triple_idx=True,
+    )
+    topk = TopKQueryBessKGE(
+        k=K,
+        candidate_sampler=ns,
+        score_fn=score_fn,
+        evaluation=Evaluation(["mrr"], worst_rank_infty=True, reduction="none"),
+        return_scores=True,
+        window_size=50,
+    )
+    fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    golden = _golden_scores()
+    golden_topk = np.argsort(-golden, axis=1)[:, :K]
+
+    seen = np.zeros(N_QUERY, bool)
+
+    def collect(batch, out):
+        ids = out["topk_global_id"].reshape(-1, K)
+        scores = out["topk_scores"].reshape(-1, K)
+        mask = batch["triple_mask"].reshape(-1)
+        tidx = batch["triple_idx"].reshape(-1)
+        orig = pts.triple_sort_idx[tidx[mask]]
+        np.testing.assert_array_equal(ids[mask], golden_topk[orig])
+        np.testing.assert_allclose(
+            scores[mask],
+            np.take_along_axis(golden[orig], golden_topk[orig], axis=1),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+        seen[orig] = True
+
+    _run_batches(bs, fwd, params, collect)
+    assert seen.all()
+
+
+def test_topk_candidate_sets():
+    score_fn = _score_fn(sharing=False)
+    n_cand = 40
+    local_rng = np.random.default_rng(SEED + 5)
+    # Duplicate-free candidate rows (ranks_from_indices assumes distinct).
+    candidates = np.argsort(
+        local_rng.random((N_QUERY, N_ENTITY)), axis=1
+    )[:, :n_cand].astype(np.int32)
+    queries = np.stack([query_h, query_r], 1).astype(np.int32)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds,
+        sharding,
+        queries,
+        "hr",
+        ground_truth=ground_truth.astype(np.int32),
+        negative=candidates,
+    )
+    ns = TripleBasedShardedNegativeSampler(
+        None,
+        pts.neg_tails,
+        sharding,
+        corruption_scheme="t",
+        seed=SEED,
+        mask_on_gather=True,
+    )
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=1, seed=SEED,
+        return_triple_idx=True,
+    )
+    topk = TopKQueryBessKGE(
+        k=K,
+        candidate_sampler=ns,
+        score_fn=score_fn,
+        return_scores=True,
+        window_size=16,
+    )
+    fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    golden = _golden_scores()
+
+    def collect(batch, out):
+        ids = out["topk_global_id"].reshape(-1, K)
+        mask = batch["triple_mask"].reshape(-1)
+        tidx = batch["triple_idx"].reshape(-1)
+        orig = pts.triple_sort_idx[tidx[mask]]
+        # Golden: top-k restricted to each query's candidate set.
+        for row_ids, q in zip(ids[mask], orig):
+            cand = candidates[q]
+            cand_scores = golden[q, cand]
+            order = np.argsort(-cand_scores)[:K]
+            expected = cand[order]
+            np.testing.assert_array_equal(row_ids[: len(expected)], expected)
+
+    _run_batches(bs, fwd, params, collect)
+
+
+def test_allscores_full_matrix():
+    score_fn = _score_fn()
+    queries = np.stack([query_h, query_r], 1).astype(np.int32)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds, sharding, queries, "hr", ground_truth=ground_truth.astype(np.int32)
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=SEED)
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=1, seed=SEED,
+        return_triple_idx=True,
+    )
+    allsc = AllScoresBESS(ns, score_fn, window_size=37)
+    fwd = build_allscores_forward(allsc, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+    golden = _golden_scores()
+
+    # Column map: stitched columns enumerate (window, shard, pos-in-window).
+    n_step = allsc.n_step
+    ws = allsc.window_size
+    max_e = sharding.max_entity_per_shard
+
+    for block in bs.epoch_index_blocks(shuffle=False):
+        batch = bs.sample_batch(block)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        chunks = [
+            np.asarray(fwd(params, jbatch, jnp.asarray(i)))
+            for i in range(n_step)
+        ]
+        # (bps, S, shard_bs, S*ws) per step -> (bs_total, n_step, S, ws)
+        stitched = np.stack(chunks, axis=3).reshape(
+            -1, n_step, N_SHARD, ws
+        )
+        mask = batch["triple_mask"].reshape(-1)
+        tidx = batch["triple_idx"].reshape(-1)
+        orig = pts.triple_sort_idx[tidx]
+        full = np.full((stitched.shape[0], N_ENTITY), np.nan, np.float32)
+        for s in range(N_SHARD):
+            for w in range(n_step):
+                idx = np.minimum(np.arange(w * ws, (w + 1) * ws), max_e - 1)
+                valid = idx < sharding.shard_counts[s]
+                # Skip overshoot duplicates (idx clamped).
+                dup = np.zeros_like(valid)
+                dup[1:] = idx[1:] == idx[:-1]
+                use = valid & ~dup
+                cols = sharding.shard_and_idx_to_entity[s, idx[use]]
+                full[:, cols] = stitched[:, w, s, use]
+        assert not np.isnan(full[mask]).any()
+        np.testing.assert_allclose(
+            full[mask], golden[orig[mask]], rtol=1e-4, atol=1e-4
+        )
+        break
