@@ -65,6 +65,7 @@ class ShardedBatchSampler(ABC):
         weight_smoothing: float = 0.0,
         duplicate_batch: bool = False,
         return_triple_idx: bool = False,
+        use_native: bool = True,
     ) -> None:
         self.n_shard = partitioned_triple_set.sharding.n_shard
         self.triples = partitioned_triple_set.triples
@@ -76,6 +77,9 @@ class ShardedBatchSampler(ABC):
         self.shard_bs = shard_bs
         self.batches_per_step = batches_per_step
         self.duplicate_batch = duplicate_batch
+        #: Use the C++ hot loops (csrc/bess_host.cpp) when built; falls back
+        #: to numpy transparently.
+        self.use_native = use_native
 
         if self.triple_partition_mode == "ht_shardpair":
             # Micro-batch on shard h = n_shard partition blocks (h, 0..S-1).
@@ -142,18 +146,28 @@ class ShardedBatchSampler(ABC):
             }
         sample_idx = parts.pop("sample_idx")
 
-        hrt = self.triples[sample_idx]  # (..., 3)
-        head = hrt[..., 0]
-        relation = hrt[..., 1]
-        tail = hrt[..., 2]
-        if self.triple_partition_mode == "ht_shardpair":
-            # Pre-transpose tails (shard_h <-> shard_t) for the AllToAll.
-            tail = np.ascontiguousarray(tail.transpose(0, 2, 1, 3))
+        native_out = None
+        if self.use_native:
+            from besskge_tpu import native
+
+            if sample_idx.ndim == 4 or self.triple_partition_mode != "ht_shardpair":
+                native_out = native.assemble_hrt(self.triples, sample_idx)
+        if native_out is not None:
+            # C++ fused gather (+ tail pre-transpose for ht_shardpair).
+            head, relation, tail = native_out
+        else:
+            hrt = self.triples[sample_idx]  # (..., 3)
+            head = hrt[..., 0]
+            relation = hrt[..., 1]
+            tail = hrt[..., 2]
+            if self.triple_partition_mode == "ht_shardpair":
+                # Pre-transpose tails (shard_h <-> shard_t) for the AllToAll.
+                tail = np.ascontiguousarray(tail.transpose(0, 2, 1, 3))
 
         batch: Batch = {
-            "head": head.astype(np.int32),
-            "relation": relation.astype(np.int32),
-            "tail": tail.astype(np.int32),
+            "head": np.asarray(head, np.int32),
+            "relation": np.asarray(relation, np.int32),
+            "tail": np.asarray(tail, np.int32),
         }
         batch.update({k: v for k, v in parts.items()})
 

@@ -174,6 +174,7 @@ class BessKGE(ABC):
         negative_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        gathered_emb: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """One device's forward for one micro-batch: gather → collectives →
         score → loss/metrics (reference ``bess.py:117-276``).
@@ -181,12 +182,15 @@ class BessKGE(ABC):
         ``params["entity_embedding"]`` must be the LOCAL table shard
         ``(max_entity_per_shard, row)``. The returned ``loss`` is the
         device-local (unreduced) value — callers ``psum`` it.
+        ``gathered_emb`` optionally supplies the pre-gathered entity rows
+        (see :meth:`EmbeddingMovingBessKGE.gather_plan`).
         """
         if triple_weight is None:
             triple_weight = jnp.asarray(1.0, jnp.float32)
 
         positive_score, negative_score = self.score_batch(
-            params, head, relation, tail, negative, train=train, rng=rng
+            params, head, relation, tail, negative, train=train, rng=rng,
+            gathered_emb=gathered_emb,
         )
         n_shard, ppp = relation.shape
         bs = n_shard * ppp
@@ -273,10 +277,19 @@ class BessKGE(ABC):
         negative: jnp.ndarray,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        gathered_emb: Optional[jnp.ndarray] = None,
     ):
         """Positive (bs,) and negative (bs, n_neg_total) scores for the
         micro-batch."""
         raise NotImplementedError
+
+    def gather_plan(
+        self, head: jnp.ndarray, tail: jnp.ndarray, negative: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Local row indices gathered by :meth:`score_batch`, shape (S, G)."""
+        return jnp.concatenate(
+            [head, tail, negative.reshape(negative.shape[0], -1)], axis=1
+        )
 
 
 class EmbeddingMovingBessKGE(BessKGE):
@@ -288,7 +301,8 @@ class EmbeddingMovingBessKGE(BessKGE):
     ``shard_bs + B·n_negative`` embedding rows per shard pair.
     """
 
-    def score_batch(self, params, head, relation, tail, negative, train=False, rng=None):
+    def score_batch(self, params, head, relation, tail, negative, train=False,
+                    rng=None, gathered_emb=None):
         table = params["entity_embedding"]
         n_shard, ppp = relation.shape
         bs = n_shard * ppp
@@ -298,9 +312,11 @@ class EmbeddingMovingBessKGE(BessKGE):
         b_neg, n_neg = negative.shape[1], negative.shape[2]
 
         # Fused gather from the local shard (device hot loop #1).
-        neg_flat = negative.reshape(n_shard, -1)
-        gather_idx = jnp.concatenate([head, tail, neg_flat], axis=1)
-        emb = jnp.take(table, gather_idx, axis=0)
+        if gathered_emb is None:
+            gathered_emb = jnp.take(
+                table, self.gather_plan(head, tail, negative), axis=0
+            )
+        emb = gathered_emb
         head_emb = emb[:, :ppp]
         tail_and_neg = emb[:, ppp:]
 
@@ -404,7 +420,8 @@ class ScoreMovingBessKGE(BessKGE):
     (scores are smaller than embeddings). No local sampling / augmentation.
     """
 
-    def score_batch(self, params, head, relation, tail, negative, train=False, rng=None):
+    def score_batch(self, params, head, relation, tail, negative, train=False,
+                    rng=None, gathered_emb=None):
         table = params["entity_embedding"]
         n_shard, ppp = relation.shape
         bs = n_shard * ppp
@@ -413,9 +430,11 @@ class ScoreMovingBessKGE(BessKGE):
         flat = self.negative_sampler.flat_negative_format
         b_neg, n_neg = negative.shape[1], negative.shape[2]
 
-        neg_flat = negative.reshape(n_shard, -1)
-        gather_idx = jnp.concatenate([head, tail, neg_flat], axis=1)
-        emb = jnp.take(table, gather_idx, axis=0)
+        if gathered_emb is None:
+            gathered_emb = jnp.take(
+                table, self.gather_plan(head, tail, negative), axis=0
+            )
+        emb = gathered_emb
         head_emb = emb[:, :ppp]
         tail_emb = emb[:, ppp : 2 * ppp]
         neg_emb = emb[:, 2 * ppp :].reshape(n_shard, b_neg, n_neg, d)

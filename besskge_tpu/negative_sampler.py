@@ -90,6 +90,7 @@ class RandomShardedNegativeSampler(ShardedNegativeSampler):
         corruption_scheme: str,
         local_sampling: bool,
         flat_negative_format: bool = False,
+        use_native: bool = True,
     ) -> None:
         self.n_negative = n_negative
         self.sharding = sharding
@@ -99,6 +100,10 @@ class RandomShardedNegativeSampler(ShardedNegativeSampler):
         self.flat_negative_format = flat_negative_format
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        #: Use the C++ pcg32 drawing loop when built (deterministic in
+        #: (seed, call index), but a different stream than the numpy path).
+        self.use_native = use_native
+        self._native_calls = 0
 
     def __call__(self, sample_idx: NDArray[np.int64]) -> BatchArrays:
         bps, n_shard, shard_bs = _batch_geometry(sample_idx)
@@ -106,6 +111,18 @@ class RandomShardedNegativeSampler(ShardedNegativeSampler):
             b = 2 if self.corruption_scheme == "ht" else 1
         else:
             b = shard_bs
+        if self.use_native:
+            from besskge_tpu import native
+
+            call_seed = (self.seed * 0x9E3779B9 + self._native_calls) & (
+                2**63 - 1
+            )
+            out = native.random_negatives(
+                call_seed, self.shard_counts, bps, n_shard, b, self.n_negative
+            )
+            if out is not None:
+                self._native_calls += 1
+                return dict(negative_entities=out)
         draws = self.rng.integers(
             1 << 31, size=(bps, n_shard, n_shard, b, self.n_negative), dtype=np.int64
         )

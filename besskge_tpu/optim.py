@@ -1,0 +1,189 @@
+"""Sparse row-wise optimizers for the sharded entity table.
+
+The reference runs dense SGDM/Adam over the whole entity table every step —
+fine in IPU SRAM (~47 TB/s), but on TPU a dense update is HBM-bound: for a
+2.5M × 100 table AdamW touches ~7 table-sizes of HBM per step. Since a BESS
+step only ever *uses* the gathered rows (heads, tails, negatives), the
+TPU-native update is sparse:
+
+1. differentiate the loss w.r.t. the **gathered rows** (the AllToAll's AD
+   transpose still routes tail/negative cotangents home — handled in
+   :func:`besskge_tpu.trainer.build_train_step`);
+2. sum duplicate-row gradients with one ``scatter-add``;
+3. update parameters and (fp32) optimizer moments **only at touched rows**,
+   with duplicate-safe idempotent writes.
+
+This is the "lazy" optimizer family (as in torch's SparseAdam): moment decay
+is applied only when a row is touched, and bias correction uses the global
+step count. It also gives low-precision tables for free: keep the table in
+bf16 while moments/updates are computed in fp32.
+
+No reference equivalent — this replaces ``poptorch.optim`` dense updates
+(notebook 1 cell 26) with a TPU-appropriate design.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["RowAdamW", "RowSGDM", "RowAdagrad", "EntityRowOptimizer"]
+
+
+class EntityRowOptimizer:
+    """Interface: sparse per-row optimizer for the local entity-table shard."""
+
+    def init(self, table: jnp.ndarray) -> Dict[str, Any]:
+        """Optimizer state for one local table shard."""
+        raise NotImplementedError
+
+    def update_rows(
+        self,
+        table: jnp.ndarray,
+        state: Dict[str, Any],
+        idx: jnp.ndarray,
+        grad_rows: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Apply one step given flat touched-row indices (R,) — duplicates
+        allowed — and their per-occurrence gradients (R, row)."""
+        raise NotImplementedError
+
+
+def _dedup_row_grads(
+    table: jnp.ndarray, idx: jnp.ndarray, grad_rows: jnp.ndarray
+) -> jnp.ndarray:
+    """Summed gradient per occurrence, without any table-sized buffer.
+
+    Sort the R touched-row occurrences by row id, segment-sum with a cumsum
+    difference, and broadcast each segment's total back to every occurrence —
+    so duplicate occurrences all see the SAME total gradient (making the
+    later ``.at[idx].set`` writes idempotent). O(R log R + R·row), R = rows
+    touched per step; the table itself is never traversed.
+    """
+    r = idx.shape[0]
+    order = jnp.argsort(idx)
+    si = jnp.take(idx, order)
+    sg = jnp.take(grad_rows.astype(jnp.float32), order, axis=0)
+    cs = jnp.cumsum(sg, axis=0)
+    pos = jnp.arange(r, dtype=jnp.int32)
+    # Last/first occurrence index of each element's segment.
+    is_last = jnp.concatenate([si[1:] != si[:-1], jnp.array([True])])
+    is_first = jnp.concatenate([jnp.array([True]), si[1:] != si[:-1]])
+    # seg_end[i] = smallest j >= i with is_last[j]: reverse cummin of
+    # (pos where last else +inf).
+    end_candidates = jnp.where(is_last, pos, r - 1)
+    seg_end = jax.lax.cummin(end_candidates, reverse=True)
+    start_candidates = jnp.where(is_first, pos, 0)
+    seg_start = jax.lax.cummax(start_candidates)
+    totals = jnp.take(cs, seg_end, axis=0) - jnp.where(
+        (seg_start > 0)[:, None], jnp.take(cs, seg_start - 1, axis=0), 0.0
+    )
+    # Back to the original occurrence order.
+    out = jnp.zeros_like(totals).at[order].set(totals)
+    return out
+
+
+@dataclasses.dataclass
+class RowAdamW(EntityRowOptimizer):
+    """Lazy AdamW on touched rows; fp32 moments regardless of table dtype."""
+
+    learning_rate: float
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def init(self, table):
+        return {
+            "mu": jnp.zeros(table.shape, jnp.float32),
+            "nu": jnp.zeros(table.shape, jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_rows(self, table, state, idx, grad_rows):
+        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        count = state["count"] + 1
+        mu_rows = self.b1 * jnp.take(state["mu"], idx, axis=0) + (1 - self.b1) * g
+        nu_rows = self.b2 * jnp.take(state["nu"], idx, axis=0) + (
+            1 - self.b2
+        ) * (g * g)
+        t = count.astype(jnp.float32)
+        mu_hat = mu_rows / (1 - self.b1**t)
+        nu_hat = nu_rows / (1 - self.b2**t)
+        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        upd = self.learning_rate * (
+            mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p_rows
+        )
+        new_rows = (p_rows - upd).astype(table.dtype)
+        return (
+            table.at[idx].set(new_rows),
+            {
+                "mu": state["mu"].at[idx].set(mu_rows),
+                "nu": state["nu"].at[idx].set(nu_rows),
+                "count": count,
+            },
+        )
+
+
+@dataclasses.dataclass
+class RowSGDM(EntityRowOptimizer):
+    """Lazy SGD with momentum on touched rows (the reference wikikg2 recipe,
+    notebook 3 cell 14); fp32 momentum buffer."""
+
+    learning_rate: float
+    momentum: float = 0.9
+    weight_decay: float = 0.0
+
+    def init(self, table):
+        if self.momentum == 0.0:
+            return {"count": jnp.zeros((), jnp.int32)}
+        return {
+            "m": jnp.zeros(table.shape, jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_rows(self, table, state, idx, grad_rows):
+        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        if self.weight_decay:
+            g = g + self.weight_decay * p_rows
+        new_state = dict(state, count=state["count"] + 1)
+        if self.momentum != 0.0:
+            m_rows = self.momentum * jnp.take(state["m"], idx, axis=0) + g
+            new_state["m"] = state["m"].at[idx].set(m_rows)
+            g = m_rows
+        new_rows = (p_rows - self.learning_rate * g).astype(table.dtype)
+        return table.at[idx].set(new_rows), new_state
+
+
+@dataclasses.dataclass
+class RowAdagrad(EntityRowOptimizer):
+    """Lazy Adagrad on touched rows (the classic sparse-embedding choice)."""
+
+    learning_rate: float
+    eps: float = 1e-10
+
+    def init(self, table):
+        return {
+            "acc": jnp.zeros(table.shape, jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update_rows(self, table, state, idx, grad_rows):
+        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        acc_rows = jnp.take(state["acc"], idx, axis=0) + g * g
+        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        new_rows = (
+            p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
+        ).astype(table.dtype)
+        return (
+            table.at[idx].set(new_rows),
+            {
+                "acc": state["acc"].at[idx].set(acc_rows),
+                "count": state["count"] + 1,
+            },
+        )

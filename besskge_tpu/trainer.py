@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from besskge_tpu.batch_sampler import ShardedBatchSampler
 from besskge_tpu.bess import BessKGE, _device_step, _format_outputs, _out_specs
+from besskge_tpu.optim import EntityRowOptimizer
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
 
 __all__ = ["build_train_step", "init_optimizer_state", "Trainer"]
@@ -51,16 +52,28 @@ def init_optimizer_state(
     optimizer: optax.GradientTransformation,
     params: Params,
     mesh: Optional[Mesh] = None,
+    entity_optimizer: Optional["EntityRowOptimizer"] = None,
 ) -> Any:
     """Initialize optimizer state; on a mesh, entity-table moments inherit
-    the table's sharding (one block per device, never communicated)."""
+    the table's sharding (one block per device, never communicated).
+
+    With ``entity_optimizer``, the state is ``{"entity": row-optimizer
+    state, "other": optax state for the replicated params}``.
+    """
+
+    if entity_optimizer is None:
+        def _init(p):
+            return optimizer.init(p)
+    else:
+        def _init(p):
+            other = {k: v for k, v in p.items() if k != "entity_embedding"}
+            return {
+                "entity": entity_optimizer.init(p["entity_embedding"]),
+                "other": optimizer.init(other),
+            }
+
     if mesh is None:
-        return jax.jit(optimizer.init)(params)
-    out_specs = None
-
-    def _init(p):
-        return optimizer.init(p)
-
+        return jax.jit(_init)(params)
     state_shape = jax.eval_shape(_init, params)
     entity_shape = params["entity_embedding"].shape
     out_specs = _opt_state_specs(state_shape, entity_shape)
@@ -68,19 +81,101 @@ def init_optimizer_state(
     return jax.jit(_init, out_shardings=shardings)(params)
 
 
+def _sparse_device_train_step(bess, optimizer, entity_optimizer):
+    """Device train step with sparse entity updates: differentiate w.r.t. the
+    gathered rows only (no dense table gradient is ever materialized), then
+    apply a lazy row-wise optimizer (:mod:`besskge_tpu.optim`)."""
+    from besskge_tpu.bess import _FORWARD_KEYS
+
+    def step(params, opt_state, batch, rng=None):
+        table = params["entity_embedding"][0]
+        other = {k: v for k, v in params.items() if k != "entity_embedding"}
+        if rng is not None and bess.axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(bess.axis_name))
+        mbs = {k: v[:, 0] for k, v in batch.items() if k in _FORWARD_KEYS}
+        bps = next(iter(mbs.values())).shape[0]
+        rngs = (
+            jax.random.split(rng, bps)
+            if rng is not None
+            else jnp.zeros((bps, 2), jnp.uint32)
+        )
+        zero_other = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, x.dtype), other
+        )
+
+        def body(acc_other, inp):
+            mb, step_rng = inp
+            idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
+            gathered = jnp.take(table, idx, axis=0)
+            srng = step_rng if rng is not None else None
+
+            def f(g, o):
+                local = dict(o)
+                local["entity_embedding"] = jax.lax.stop_gradient(table)
+                out = bess.forward(
+                    local, train=True, rng=srng, gathered_emb=g, **mb
+                )
+                return out["loss"], out
+
+            _, vjp, out = jax.vjp(f, gathered, other, has_aux=True)
+            g_gathered, g_other = vjp(jnp.ones((), jnp.float32))
+            acc_other = jax.tree.map(jnp.add, acc_other, g_other)
+            return acc_other, (out, idx.reshape(-1), g_gathered)
+
+        acc_other, (outs, idxs, g_rows) = jax.lax.scan(
+            body, zero_other, (mbs, rngs)
+        )
+        # Sparse entity update over all micro-batches' touched rows.
+        row = g_rows.shape[-1]
+        new_table, new_ent_state = entity_optimizer.update_rows(
+            table,
+            {
+                k: (v[0] if hasattr(v, "ndim") and v.ndim == 3 else v)
+                for k, v in opt_state["entity"].items()
+            },
+            idxs.reshape(-1),
+            g_rows.reshape(-1, row),
+        )
+        # Replicated params: data-parallel psum then the optax transform.
+        acc_other = bess.psum(acc_other)
+        updates, new_other_state = optimizer.update(
+            acc_other, opt_state["other"], other
+        )
+        new_other = optax.apply_updates(other, updates)
+        new_params = dict(new_other)
+        new_params["entity_embedding"] = new_table[None]
+        new_opt_state = {
+            "entity": {
+                k: (v[None] if hasattr(v, "ndim") and v.ndim == 2 else v)
+                for k, v in new_ent_state.items()
+            },
+            "other": new_other_state,
+        }
+        return new_params, new_opt_state, _format_outputs(bess, outs)
+
+    return step
+
+
 def build_train_step(
     bess: BessKGE,
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
+    entity_optimizer: Optional["EntityRowOptimizer"] = None,
 ) -> Callable:
     """Build ``fn(params, opt_state, batch[, rng]) -> (params, opt_state,
     outputs)`` — the full BESS training step, jitted over the mesh.
+
+    With ``entity_optimizer`` (an :class:`besskge_tpu.optim
+    .EntityRowOptimizer`), the entity table takes sparse row-wise updates —
+    no dense table-sized gradient or dense moment update — and ``optimizer``
+    applies to the replicated parameters only. Otherwise ``optimizer``
+    handles everything densely.
 
     ``outputs`` contains the psum'd global ``loss`` plus whatever the module
     config produces (metrics, scores).
     """
 
-    def device_train_step(params, opt_state, batch, rng=None):
+    def dense_device_train_step(params, opt_state, batch, rng=None):
         def loss_fn(p):
             outs = _device_step(bess, p, batch, train=True, rng=rng)
             return jnp.sum(outs["loss"]), outs
@@ -95,6 +190,12 @@ def build_train_step(
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, _format_outputs(bess, outs)
+
+    device_train_step = (
+        _sparse_device_train_step(bess, optimizer, entity_optimizer)
+        if entity_optimizer is not None
+        else dense_device_train_step
+    )
 
     if mesh is None:
         if bess.axis_name is not None:
@@ -150,6 +251,7 @@ class Trainer:
         mesh: Optional[Mesh] = None,
         params: Optional[Params] = None,
         seed: int = 0,
+        entity_optimizer: Optional["EntityRowOptimizer"] = None,
     ) -> None:
         if bess.loss_fn is None:
             raise ValueError("Training requires a loss_fn on the BESS module")
@@ -166,8 +268,12 @@ class Trainer:
             )
         else:
             self.params = jax.tree.map(jnp.asarray, raw)
-        self.opt_state = init_optimizer_state(optimizer, self.params, mesh)
-        self.train_step = build_train_step(bess, optimizer, mesh)
+        self.opt_state = init_optimizer_state(
+            optimizer, self.params, mesh, entity_optimizer
+        )
+        self.train_step = build_train_step(
+            bess, optimizer, mesh, entity_optimizer
+        )
         self.rng = jax.random.PRNGKey(seed)
         from besskge_tpu.scoring import ConvE
 

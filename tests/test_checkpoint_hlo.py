@@ -1,0 +1,179 @@
+"""Tests for checkpoint save/load/reshard and the HLO collective audit."""
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+from besskge_tpu.batch_sampler import RandomShardedBatchSampler
+from besskge_tpu.bess import EmbeddingMovingBessKGE
+from besskge_tpu.checkpoint import load_checkpoint, save_checkpoint
+from besskge_tpu.dataset import KGDataset
+from besskge_tpu.loss import LogSigmoidLoss
+from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+from besskge_tpu.parallel import make_shard_mesh, shard_batch, shard_params
+from besskge_tpu.parallel.hlo_check import (
+    assert_no_entity_allreduce,
+    collective_summary,
+)
+from besskge_tpu.scoring import TransE
+from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+from besskge_tpu.trainer import build_train_step, init_optimizer_state
+
+N_ENTITY = 80
+N_SHARD = 4
+
+
+def _setup(n_shard=N_SHARD):
+    rng = np.random.default_rng(3)
+    trip = np.stack(
+        [
+            rng.integers(N_ENTITY, size=900),
+            rng.integers(3, size=900),
+            rng.integers(N_ENTITY, size=900),
+        ],
+        1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=3,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"train": trip},
+        original_triple_ids={"train": np.arange(900)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    sharding = Sharding.create(N_ENTITY, n_shard, seed=1)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    sf = TransE(
+        negative_sample_sharing=True,
+        scoring_norm=1,
+        sharding=sharding,
+        n_relation_type=3,
+        embedding_size=8,
+        seed=7,
+    )
+    ns = RandomShardedNegativeSampler(
+        4, sharding, 1, "t", local_sampling=False, flat_negative_format=True
+    )
+    bs = RandomShardedBatchSampler(pts, ns, shard_bs=16, batches_per_step=1, seed=1)
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=sf,
+        loss_fn=LogSigmoidLoss(margin=1.0, negative_adversarial_sampling=False),
+    )
+    return bess, bs, sf, sharding
+
+
+def test_checkpoint_roundtrip_and_reshard(tmp_path):
+    bess, bs, sf, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in sf.initial_params().items()}, mesh
+    )
+    opt = optax.adam(1e-2)
+    opt_state = init_optimizer_state(opt, params, mesh)
+    step = build_train_step(bess, opt, mesh)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    for _ in range(3):
+        params, opt_state, out = step(params, opt_state, batch)
+
+    f = tmp_path / "ckpt.npz"
+    host_params = {k: np.asarray(v) for k, v in params.items()}
+    save_checkpoint(
+        f, host_params, opt_state=opt_state, sharding=sharding, step=3,
+        extra_meta={"model": "TransE"},
+    )
+    p2, o2, s2, meta = load_checkpoint(f)
+    assert meta["step"] == 3 and meta["model"] == "TransE"
+    np.testing.assert_array_equal(
+        p2["entity_embedding"], host_params["entity_embedding"]
+    )
+    assert s2.n_shard == N_SHARD
+
+    # Reshard to 2 devices: per-entity rows identical, moments follow.
+    new_sharding = Sharding.create(N_ENTITY, 2, seed=9)
+    p3, o3, s3, _ = load_checkpoint(f, new_sharding=new_sharding)
+    flat_old = host_params["entity_embedding"][
+        sharding.entity_to_shard, sharding.entity_to_idx
+    ]
+    flat_new = p3["entity_embedding"][
+        new_sharding.entity_to_shard, new_sharding.entity_to_idx
+    ]
+    np.testing.assert_allclose(flat_old, flat_new)
+    # Adam moments resharded the same way (find a table-shaped leaf).
+    found = []
+
+    def walk(node, new_node):
+        if isinstance(node, dict):
+            for k in node:
+                walk(node[k], new_node[k])
+        elif isinstance(node, tuple):
+            for a, b in zip(node, new_node):
+                walk(a, b)
+        elif (
+            hasattr(node, "shape")
+            and node.shape == host_params["entity_embedding"].shape
+        ):
+            a = np.asarray(node)[sharding.entity_to_shard, sharding.entity_to_idx]
+            b = np.asarray(new_node)[
+                new_sharding.entity_to_shard, new_sharding.entity_to_idx
+            ]
+            np.testing.assert_allclose(a, b)
+            found.append(True)
+
+    walk(
+        jnp.tree_util.tree_map(np.asarray, opt_state)
+        if hasattr(jnp, "tree_util")
+        else opt_state,
+        o3,
+    )
+    assert found  # at least one moment tensor checked
+
+
+def test_no_entity_allreduce_in_train_step():
+    bess, bs, sf, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in sf.initial_params().items()}, mesh
+    )
+    opt = optax.adam(1e-2)
+    opt_state = init_optimizer_state(opt, params, mesh)
+
+    from besskge_tpu.trainer import build_train_step
+
+    step = build_train_step(bess, opt, mesh)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    # The step must not all-reduce anything table-shaped...
+    text = assert_no_entity_allreduce(
+        lambda p, s, b: step(p, s, b),
+        params["entity_embedding"].shape,
+        params,
+        opt_state,
+        batch,
+    )
+    # ...but it must contain the BESS AllToAll and the relation-grad psum.
+    assert "all-to-all" in text
+    assert "all-reduce" in text
+
+
+def test_assert_catches_bad_allreduce():
+    import jax
+
+    mesh = make_shard_mesh(4)
+    table = jnp.zeros((4, 8, 16))
+
+    def bad(t):
+        def f(tt):
+            return jax.lax.psum(tt, "shard")
+
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=P("shard"), out_specs=P(), check_vma=False
+        )(t)
+
+    with pytest.raises(AssertionError):
+        assert_no_entity_allreduce(bad, (4, 8, 16), table)

@@ -1,0 +1,195 @@
+"""Tests for sparse row-wise entity optimizers.
+
+Sparse SGD must match the dense optax trajectory exactly (SGD is stateless,
+so lazy == dense); lazy AdamW is checked against a numpy per-row reference
+including duplicate-index handling; the bf16-table path must keep fp32
+moments and still converge.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from besskge_tpu.batch_sampler import RandomShardedBatchSampler
+from besskge_tpu.bess import EmbeddingMovingBessKGE
+from besskge_tpu.dataset import KGDataset
+from besskge_tpu.loss import LogSigmoidLoss
+from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+from besskge_tpu.optim import RowAdagrad, RowAdamW, RowSGDM
+from besskge_tpu.parallel import make_shard_mesh, shard_batch, shard_params
+from besskge_tpu.scoring import DistMult, TransE
+from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+from besskge_tpu.trainer import build_train_step, init_optimizer_state
+
+SEED = 5
+N_ENTITY = 90
+N_RELATION = 4
+N_SHARD = 4
+
+
+def _setup(dtype=np.float32, emb=16):
+    rng = np.random.default_rng(SEED)
+    trip = np.stack(
+        [
+            rng.integers(N_ENTITY, size=1500),
+            rng.integers(N_RELATION, size=1500),
+            rng.integers(N_ENTITY, size=1500),
+        ],
+        1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=N_RELATION,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"train": trip},
+        original_triple_ids={"train": np.arange(1500)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    score_fn = DistMult(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=emb,
+        seed=2,
+        dtype=dtype,
+    )
+    ns = RandomShardedNegativeSampler(
+        8, sharding, SEED, "t", local_sampling=False, flat_negative_format=True
+    )
+    bs = RandomShardedBatchSampler(
+        pts, ns, shard_bs=16, batches_per_step=2, seed=SEED
+    )
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=score_fn,
+        loss_fn=LogSigmoidLoss(margin=2.0, negative_adversarial_sampling=False),
+    )
+    return bess, bs, score_fn, sharding
+
+
+def test_sparse_sgd_matches_dense():
+    bess, bs, score_fn, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params0 = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    batches = [
+        shard_batch(bs.sample_batch([i]), mesh) for i in range(3)
+    ]
+
+    dense_opt = optax.sgd(0.5)
+    p_dense = params0
+    s_dense = init_optimizer_state(dense_opt, p_dense, mesh)
+    step_dense = build_train_step(bess, dense_opt, mesh)
+
+    p_sparse = params0
+    row_opt = RowSGDM(learning_rate=0.5, momentum=0.0)
+    s_sparse = init_optimizer_state(dense_opt, p_sparse, mesh, row_opt)
+    step_sparse = build_train_step(bess, dense_opt, mesh, row_opt)
+
+    for b in batches:
+        p_dense, s_dense, out_d = step_dense(p_dense, s_dense, b)
+        p_sparse, s_sparse, out_s = step_sparse(p_sparse, s_sparse, b)
+        np.testing.assert_allclose(
+            float(out_d["loss"]), float(out_s["loss"]), rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(p_dense["entity_embedding"]),
+        np.asarray(p_sparse["entity_embedding"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_dense["relation_embedding"]),
+        np.asarray(p_sparse["relation_embedding"]),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_row_adamw_update_rows_duplicates():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+    opt = RowAdamW(learning_rate=0.1, weight_decay=0.01)
+    state = opt.init(table)
+    idx = jnp.asarray([2, 5, 2, 7, 5, 2], dtype=jnp.int32)
+    grads = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+    new_table, new_state = opt.update_rows(table, state, idx, grads)
+
+    # Numpy reference: summed grads per unique row, one AdamW step.
+    t_np = np.asarray(table).copy()
+    mu = np.zeros_like(t_np)
+    nu = np.zeros_like(t_np)
+    g_sum = np.zeros_like(t_np)
+    for i, g in zip(np.asarray(idx), np.asarray(grads)):
+        g_sum[i] += g
+    touched = np.unique(np.asarray(idx))
+    for i in touched:
+        g = g_sum[i]
+        mu[i] = 0.1 * g
+        nu[i] = 0.001 * g * g
+        mu_hat = mu[i] / (1 - 0.9)
+        nu_hat = nu[i] / (1 - 0.999)
+        t_np[i] -= 0.1 * (mu_hat / (np.sqrt(nu_hat) + 1e-8) + 0.01 * t_np[i])
+    np.testing.assert_allclose(np.asarray(new_table), t_np, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state["mu"]), mu, rtol=1e-5)
+    # Untouched rows unchanged.
+    untouched = np.setdiff1d(np.arange(10), touched)
+    np.testing.assert_array_equal(
+        np.asarray(new_table)[untouched], np.asarray(table)[untouched]
+    )
+
+
+def test_sparse_adamw_trains_and_respects_padding():
+    bess, bs, score_fn, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    row_opt = RowAdamW(learning_rate=5e-2)
+    opt = optax.adam(5e-2)
+    opt_state = init_optimizer_state(opt, params, mesh, row_opt)
+    step = build_train_step(bess, opt, mesh, row_opt)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    loss0 = None
+    ent0 = np.asarray(params["entity_embedding"])
+    for i in range(50):
+        params, opt_state, out = step(params, opt_state, batch)
+        if loss0 is None:
+            loss0 = float(out["loss"])
+    loss1 = float(out["loss"])
+    assert loss1 < 0.8 * loss0, (loss0, loss1)
+    # Padding rows (ids >= n_entity) never move: their local rows are never
+    # in any gather plan because samplers only emit real local ids.
+    pad = sharding.shard_and_idx_to_entity >= N_ENTITY
+    np.testing.assert_array_equal(
+        np.asarray(params["entity_embedding"])[pad], ent0[pad]
+    )
+
+
+def test_sparse_bf16_table():
+    bess, bs, score_fn, sharding = _setup(dtype=jnp.bfloat16)
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    assert params["entity_embedding"].dtype == jnp.bfloat16
+    row_opt = RowAdagrad(learning_rate=0.3)
+    opt = optax.adam(5e-3)
+    opt_state = init_optimizer_state(opt, params, mesh, row_opt)
+    assert opt_state["entity"]["acc"].dtype == jnp.float32
+    step = build_train_step(bess, opt, mesh, row_opt)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    for i in range(20):
+        params, opt_state, out = step(params, opt_state, batch)
+        if i == 0:
+            loss0 = float(out["loss"])
+    loss1 = float(out["loss"])
+    assert params["entity_embedding"].dtype == jnp.bfloat16
+    assert np.isfinite(loss1) and loss1 < loss0, (loss0, loss1)
