@@ -1,0 +1,28 @@
+# Dev task launcher (analog of the reference's `dev` script + Makefile).
+
+CXX ?= g++
+NATIVE_SRC = csrc/bess_host.cpp
+NATIVE_LIB = besskge_tpu/_native_build/libbess_host.so
+
+.PHONY: all native test test-fast bench clean
+
+all: native
+
+native: $(NATIVE_LIB)
+
+$(NATIVE_LIB): $(NATIVE_SRC)
+	mkdir -p besskge_tpu/_native_build
+	$(CXX) -O3 -march=native -shared -fPIC $(NATIVE_SRC) -o $(NATIVE_LIB)
+
+test: native
+	python -m pytest tests/ -q
+
+test-fast: native
+	python -m pytest tests/ -q -x -k "not bess and not topk and not pipeline"
+
+bench: native
+	python bench.py
+
+clean:
+	rm -rf besskge_tpu/_native_build .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

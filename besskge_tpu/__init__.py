@@ -17,11 +17,15 @@ configure_host_allocator()
 from besskge_tpu import (  # noqa: F401,E402
     batch_sampler,
     bess,
+    checkpoint,
     dataset,
     embedding,
     loss,
     metric,
+    monitor,
+    native,
     negative_sampler,
+    optim,
     pipeline,
     scoring,
     sharding,

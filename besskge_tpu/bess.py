@@ -155,10 +155,13 @@ class BessKGE(ABC):
     @property
     def n_embedding_parameters(self) -> int:
         """Trainable parameters in the (global) embedding tables."""
-        params = self.score_fn.initial_params()
+        sh = self.score_fn.sharding
+        n_rel = self.score_fn.n_relation_type * (
+            2 if self.score_fn.inverse_relations else 1
+        )
         return int(
-            np.prod(params["entity_embedding"].shape)
-            + np.prod(params["relation_embedding"].shape)
+            sh.n_shard * sh.max_entity_per_shard * self.score_fn.entity_row_size
+            + n_rel * self.score_fn.relation_row_size
         )
 
     # ------------------------------------------------------------------

@@ -111,6 +111,10 @@ def _build_sliced(
         raise ValueError(
             f"Got {len(initializers)} initializers for {len(row_sizes)} row slices"
         )
+    if len(initializers) == 1:
+        # No concat copy for single-slice rows (the common case; matters at
+        # multi-GB table scale).
+        return initializers[0](tuple(shape), rng)
     slices = [
         fn(tuple(shape[:-1]) + (size,), rng)
         for fn, size in zip(initializers, row_sizes)
@@ -195,6 +199,77 @@ def initialize_relation_embedding(
         return np.ascontiguousarray(initializer, dtype=np.float32)
     rng = np.random.default_rng(seed)
     return _build_sliced((n_rows, total), initializer, row_size, rng)
+
+
+def device_table_init(
+    initializer: Union[NDArray[np.float32], List[Initializer]],
+    row_sizes: List[int],
+    shape: Sequence[int],
+    seed: int,
+    dtype: "np.dtype",
+    sharding: "object" = None,
+) -> "object":
+    """Generate an embedding table directly on device with ``jax.random``.
+
+    The jax equivalent of each host initializer runs inside one jitted
+    program with ``out_shardings`` — at multi-GB table scale this avoids
+    both host memory and the host→device transfer entirely. Array
+    initializers must already have the target shape (use the host path for
+    unsharded 2-D tables that need permutation).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(initializer, np.ndarray):
+        if tuple(initializer.shape) != tuple(shape):
+            raise ValueError(
+                f"Array initializer shape {initializer.shape} != {tuple(shape)};"
+                " use initial_params() for unsharded 2-D tables"
+            )
+        arr = initializer.astype(dtype, copy=False)
+        return jax.device_put(arr, sharding) if sharding else jax.device_put(arr)
+
+    def _one(fn: Initializer, key, shp):
+        d = shp[-1]
+        if fn is init_uniform:
+            return jax.random.uniform(key, shp)
+        if fn is init_zeros:
+            return jnp.zeros(shp)
+        if fn is init_uniform_norm:
+            x = jax.random.uniform(key, shp)
+            return x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12
+            )
+        if fn is init_xavier_norm:
+            return jax.random.normal(key, shp) * float(np.sqrt(2.0 / (d + 1)))
+        if fn is init_uniform_rotation:
+            return jax.random.uniform(key, shp, maxval=2.0 * np.pi)
+        if fn is init_KGE_uniform:
+            return (2.0 * jax.random.uniform(key, shp) - 1.0) / d
+        if fn is init_KGE_normal:
+            return jax.random.normal(key, shp) / d
+        raise ValueError(
+            f"No device equivalent for initializer {fn}; pass a table or use"
+            " the host initial_params() path"
+        )
+
+    if len(initializer) != len(row_sizes):
+        raise ValueError(
+            f"Got {len(initializer)} initializers for {len(row_sizes)} slices"
+        )
+
+    def gen():
+        key = jax.random.PRNGKey(seed)
+        parts = [
+            _one(fn, jax.random.fold_in(key, i), tuple(shape[:-1]) + (size,))
+            for i, (fn, size) in enumerate(zip(initializer, row_sizes))
+        ]
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return out.astype(dtype)
+
+    if sharding is not None:
+        return jax.jit(gen, out_shardings=sharding)()
+    return jax.jit(gen)()
 
 
 def refactor_embedding_sharding(

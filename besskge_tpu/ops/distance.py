@@ -13,6 +13,7 @@ C++ op in poptorch-experimental-addons). On TPU:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["p_distance_matrix"]
@@ -20,6 +21,33 @@ __all__ = ["p_distance_matrix"]
 #: Softening for sqrt at zero distance (keeps gradients finite when a
 #: candidate coincides with the query).
 _EPS = 1e-12
+
+
+def _l1_broadcast(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)
+
+
+@jax.custom_vjp
+def _l1_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    from besskge_tpu.ops.pallas_distance import l1_distance_matrix
+
+    return l1_distance_matrix(a, b)
+
+
+def _l1_fwd(a, b):
+    return _l1_pallas(a, b), (a, b)
+
+
+def _l1_bwd(res, g):
+    a, b = res
+    # d|a_i − b_j|/da_i = sign(a_i − b_j); XLA fuses the broadcast chain.
+    sign = jnp.sign(a[:, None, :] - b[None, :, :])
+    da = jnp.sum(g[:, :, None] * sign, axis=1)
+    db = -jnp.sum(g[:, :, None] * sign, axis=0)
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_l1_pallas.defvjp(_l1_fwd, _l1_bwd)
 
 
 def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -38,6 +66,9 @@ def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
         sq = jnp.maximum(a2 + b2 - 2.0 * ab, _EPS)
         return jnp.sqrt(sq).astype(a.dtype)
     if p == 1:
-        # VPU path; O(B·N·d) elementwise. XLA fuses the abs/sub/sum.
-        return jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)
+        if jax.default_backend() == "tpu":
+            # Pallas tiled kernel: no (B, N, d) HBM intermediate.
+            return _l1_pallas(a, b)
+        # VPU/CPU path; XLA fuses the abs/sub/sum.
+        return _l1_broadcast(a, b)
     raise ValueError(f"Unsupported distance order p={p}")

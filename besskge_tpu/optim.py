@@ -34,6 +34,19 @@ import numpy as np
 __all__ = ["RowAdamW", "RowSGDM", "RowAdagrad", "EntityRowOptimizer"]
 
 
+def _apply_rows(
+    table: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """Duplicate-safe idempotent row writes; on TPU with 128-aligned rows
+    this is the in-place Pallas DMA kernel (no table-sized copy — XLA's
+    scatter copies the whole table otherwise)."""
+    if jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0:
+        from besskge_tpu.ops.pallas_scatter import scatter_rows
+
+        return scatter_rows(table, idx, rows)
+    return table.at[idx].set(rows)
+
+
 class EntityRowOptimizer:
     """Interface: sparse per-row optimizer for the local entity-table shard."""
 
@@ -120,10 +133,10 @@ class RowAdamW(EntityRowOptimizer):
         )
         new_rows = (p_rows - upd).astype(table.dtype)
         return (
-            table.at[idx].set(new_rows),
+            _apply_rows(table, idx, new_rows),
             {
-                "mu": state["mu"].at[idx].set(mu_rows),
-                "nu": state["nu"].at[idx].set(nu_rows),
+                "mu": _apply_rows(state["mu"], idx, mu_rows),
+                "nu": _apply_rows(state["nu"], idx, nu_rows),
                 "count": count,
             },
         )
@@ -154,10 +167,10 @@ class RowSGDM(EntityRowOptimizer):
         new_state = dict(state, count=state["count"] + 1)
         if self.momentum != 0.0:
             m_rows = self.momentum * jnp.take(state["m"], idx, axis=0) + g
-            new_state["m"] = state["m"].at[idx].set(m_rows)
+            new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
         new_rows = (p_rows - self.learning_rate * g).astype(table.dtype)
-        return table.at[idx].set(new_rows), new_state
+        return _apply_rows(table, idx, new_rows), new_state
 
 
 @dataclasses.dataclass
@@ -181,9 +194,9 @@ class RowAdagrad(EntityRowOptimizer):
             p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
         ).astype(table.dtype)
         return (
-            table.at[idx].set(new_rows),
+            _apply_rows(table, idx, new_rows),
             {
-                "acc": state["acc"].at[idx].set(acc_rows),
+                "acc": _apply_rows(state["acc"], idx, acc_rows),
                 "count": state["count"] + 1,
             },
         )

@@ -110,29 +110,93 @@ class BaseScoreFunction(ABC):
         seed: int,
         dtype: Any,
     ) -> None:
+        # Tables are built LAZILY (initial_params / initial_params_device):
+        # at production scale the entity table is GBs and should be generated
+        # directly on device, never materialized on host.
         self.sharding = sharding
         self.n_relation_type = n_relation_type
         self.inverse_relations = inverse_relations
         self.dtype = dtype
+        self.seed = seed
         self.entity_row_size = int(sum(entity_slices))
         self.relation_row_size = int(sum(relation_slices))
-        self._entity_table = initialize_entity_embedding(
-            sharding, entity_initializer, entity_slices, seed=seed
-        ).astype(dtype)
-        self._relation_table = initialize_relation_embedding(
-            n_relation_type,
-            inverse_relations,
-            relation_initializer,
-            relation_slices,
-            seed=seed + 1,
-        ).astype(dtype)
+        self._entity_spec = (entity_initializer, list(entity_slices))
+        self._relation_spec = (relation_initializer, list(relation_slices))
 
     def initial_params(self) -> Params:
-        """The initial learnable state as a pytree of numpy arrays."""
+        """The initial learnable state as a pytree of numpy arrays
+        (host-side; prefer :meth:`initial_params_device` for large tables)."""
+        ent_init, ent_slices = self._entity_spec
+        rel_init, rel_slices = self._relation_spec
         return {
-            "entity_embedding": self._entity_table,
-            "relation_embedding": self._relation_table,
+            "entity_embedding": initialize_entity_embedding(
+                self.sharding, ent_init, ent_slices, seed=self.seed
+            ).astype(self.dtype, copy=False),
+            "relation_embedding": initialize_relation_embedding(
+                self.n_relation_type,
+                self.inverse_relations,
+                rel_init,
+                rel_slices,
+                seed=self.seed + 1,
+            ).astype(self.dtype, copy=False),
+            **self._extra_params(),
         }
+
+    def initial_params_device(self, mesh: Any = None) -> Params:
+        """Generate the initial tables ON DEVICE with ``jax.random``: no
+        host-side gigabytes, no host→device transfer; on a mesh the entity
+        table is generated pre-sharded (GSPMD partitions the RNG).
+
+        Function initializers are mapped to jax equivalents (values differ
+        from the host RNG stream); array initializers are ``device_put``.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from besskge_tpu.embedding import device_table_init
+
+        n_rel = self.n_relation_type * (2 if self.inverse_relations else 1)
+        ent_shape = (
+            self.sharding.n_shard,
+            self.sharding.max_entity_per_shard,
+            self.entity_row_size,
+        )
+        rel_shape = (n_rel, self.relation_row_size)
+        ent_sharding = (
+            NamedSharding(mesh, P("shard")) if mesh is not None else None
+        )
+        rel_sharding = NamedSharding(mesh, P()) if mesh is not None else None
+        params = {
+            "entity_embedding": device_table_init(
+                self._entity_spec[0],
+                self._entity_spec[1],
+                ent_shape,
+                self.seed,
+                self.dtype,
+                ent_sharding,
+            ),
+            "relation_embedding": device_table_init(
+                self._relation_spec[0],
+                self._relation_spec[1],
+                rel_shape,
+                self.seed + 1,
+                self.dtype,
+                rel_sharding,
+            ),
+        }
+        extra = self._extra_params()
+        if extra:
+            put = (
+                (lambda x: jax.device_put(x, rel_sharding))
+                if mesh is not None
+                else jax.device_put
+            )
+            params.update(jax.tree.map(put, extra))
+        return params
+
+    def _extra_params(self) -> Params:
+        """Non-table learnable parameters (overridden by ConvE)."""
+        return {}
 
     def update_sharding(self, params: Params, new_sharding: Sharding) -> Params:
         """Re-shard a (trained) entity table to a new device topology
@@ -683,10 +747,8 @@ class ConvE(MatrixDecompositionScoreFunction):
                     "var": np.ones(n, np.float32),
                 }
 
-    def initial_params(self) -> Params:
-        params = super().initial_params()
-        params.update(jax.tree.map(lambda x: x, self._net_params))
-        return params
+    def _extra_params(self) -> Params:
+        return jax.tree.map(lambda x: x, self._net_params)
 
     @staticmethod
     def _bn(x, stats, train, axes):

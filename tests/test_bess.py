@@ -181,3 +181,82 @@ def test_bess_inference(model_cls, corruption_scheme, duplicate_batch,
             true_neg = true_neg_h if corruption_scheme == "h" else true_neg_t
             check_neg(true_neg, neg[triple_mask], neg_sort_idx[triple_mask])
         break  # one step is enough per config
+
+
+def test_embedding_moving_local_sampling():
+    """local_sampling=True: negatives sampled AND scored on the processing
+    shard (their AllToAll is skipped; reference ``bess.py:339-345``)."""
+    from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=N_RELATION_TYPE,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples=TRIPLES,
+        original_triple_ids={k: np.arange(v.shape[0]) for k, v in TRIPLES.items()},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    pts = PartitionedTripleSet.create_from_dataset(
+        ds, "test", sharding, partition_mode="ht_shardpair"
+    )
+    score_fn = TransE(
+        negative_sample_sharing=False,
+        scoring_norm=1,
+        sharding=sharding,
+        n_relation_type=N_RELATION_TYPE,
+        embedding_size=EMBEDDING_SIZE,
+        entity_initializer=entity_table,
+        relation_initializer=relation_table,
+    )
+    n_neg = 7
+    ns = RandomShardedNegativeSampler(
+        n_neg, sharding, SEED, "t", local_sampling=True,
+        flat_negative_format=False, use_native=False,
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=1,
+        seed=SEED,
+        return_triple_idx=True,
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns, score_fn=score_fn, return_scores=True
+    )
+    fwd = build_bess_forward(bess, mesh)
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    flat_table = entity_table[sharding.entity_to_shard, sharding.entity_to_idx]
+    batch = bs.sample_batch(next(bs.epoch_index_blocks(shuffle=False)))
+    res = jax.tree.map(np.asarray, fwd(params, {k: jnp.asarray(v) for k, v in batch.items()}))
+
+    trip_idx = batch["triple_idx"][0]           # (S, S, ppp)
+    triple_mask = batch["triple_mask"][0]
+    negs = batch["negative"][0]                  # (S_src, S_dest?, B, n_neg)
+    orig_triples = TRIPLES["test"][pts.triple_sort_idx][trip_idx]
+    neg_score = res["negative_score"][0]         # (S, bs, S*n_neg)
+
+    g_params = {"relation_embedding": jnp.asarray(relation_table)}
+    ppp = trip_idx.shape[-1]
+    bs_dev = N_SHARD * ppp
+    for dev in range(N_SHARD):
+        # The pool on device `dev` = its own local negatives for every k
+        # (column order: k-axis major, as laid out by score_batch).
+        local_ids = negs[dev].transpose(1, 0, 2).reshape(bs_dev, -1)
+        pool_global = sharding.shard_and_idx_to_entity[dev][local_ids]
+        trips = orig_triples[dev].reshape(-1, 3)
+        h_emb = jnp.asarray(flat_table[trips[:, 0]])
+        r_id = jnp.asarray(trips[:, 1].astype(np.int32))
+        t_pool = jnp.asarray(flat_table[pool_global])
+        expected = np.asarray(
+            score_fn.score_tails(g_params, h_emb, r_id, t_pool)
+        )
+        mask = triple_mask[dev].reshape(-1)
+        np.testing.assert_allclose(
+            neg_score[dev][mask], expected[mask], rtol=1e-4, atol=1e-4
+        )

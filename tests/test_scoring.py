@@ -237,3 +237,32 @@ def test_update_sharding_preserves_rows(sharding):
     ]
     np.testing.assert_allclose(old_flat, new_flat)
     assert model.sharding is new_sharding
+
+
+def test_initial_params_device_matches_shapes(sharding):
+    import jax
+    from besskge_tpu.parallel import make_shard_mesh
+
+    model = _make(RotatE, sharding, True)
+    host = model.initial_params()
+    mesh = make_shard_mesh(4)
+    dev = model.initial_params_device(mesh)
+    assert dev["entity_embedding"].shape == host["entity_embedding"].shape
+    assert dev["relation_embedding"].shape == host["relation_embedding"].shape
+    # Sharded placement on the mesh axis.
+    assert len(dev["entity_embedding"].sharding.device_set) == 4
+    ent = np.asarray(dev["entity_embedding"])
+    # RotatE defaults: KGE_uniform entities (|x| <= 1/row), rotation phases.
+    assert np.abs(ent).max() <= 1.0 / ent.shape[-1] + 1e-6
+    rel = np.asarray(dev["relation_embedding"])
+    assert rel.min() >= 0 and rel.max() < 2 * np.pi
+
+
+def test_initial_params_device_conve(sharding):
+    model = _make(ConvE, sharding, False)
+    dev = model.initial_params_device()
+    host = model.initial_params()
+    assert set(dev) == set(host)
+    for k in dev:
+        if isinstance(host[k], dict):
+            assert set(dev[k]) == set(host[k])
