@@ -182,7 +182,7 @@ class BessKGE(ABC):
         """One device's forward for one micro-batch: gather → collectives →
         score → loss/metrics (reference ``bess.py:117-276``).
 
-        ``params["entity_embedding"]`` must be the LOCAL table shard
+        ``params["entity_embedding"]`` must be the LOCAL 2-D table shard
         ``(max_entity_per_shard, row)``. The returned ``loss`` is the
         device-local (unreduced) value — callers ``psum`` it.
         ``gathered_emb`` optionally supplies the pre-gathered entity rows
@@ -830,8 +830,7 @@ def _device_step(bess: BessKGE, params, batch, train=False, rng=None):
     ``params["entity_embedding"]`` is the (1, max_ent, row) block; batch
     arrays are (bps, 1, ...) blocks.
     """
-    local = dict(params)
-    local["entity_embedding"] = params["entity_embedding"][0]
+    local = params
     if rng is not None and bess.axis_name is not None:
         # Per-device dropout streams.
         rng = jax.random.fold_in(rng, jax.lax.axis_index(bess.axis_name))
@@ -964,8 +963,7 @@ def build_topk_forward(topk: TopKQueryBessKGE, mesh: Optional[Mesh] = None):
     """
 
     def device_step(params, batch):
-        local = dict(params)
-        local["entity_embedding"] = params["entity_embedding"][0]
+        local = params
         mbs = {k: v[:, 0] for k, v in batch.items() if k in _TOPK_KEYS}
 
         def body(_, mb):
@@ -1022,8 +1020,7 @@ def build_allscores_forward(
     scores (bps, n_shard, shard_bs, n_shard*window)."""
 
     def device_step(params, batch, step):
-        local = dict(params)
-        local["entity_embedding"] = params["entity_embedding"][0]
+        local = params
         keys = ("relation", "head", "tail")
         mbs = {k: v[:, 0] for k, v in batch.items() if k in keys}
 

@@ -153,9 +153,13 @@ def load_checkpoint(
         table_shape = params["entity_embedding"].shape
 
         def reshard(x: np.ndarray) -> np.ndarray:
-            return refactor_embedding_sharding(
-                x.astype(np.float32), sharding, new_sharding
-            ).astype(x.dtype)
+            # Params store the table 2-D (n_shard * max_ent, row); go through
+            # the 3-D view for the permutation.
+            x3 = x.reshape(sharding.n_shard, -1, x.shape[-1]).astype(
+                np.float32
+            )
+            out3 = refactor_embedding_sharding(x3, sharding, new_sharding)
+            return out3.reshape(-1, out3.shape[-1]).astype(x.dtype)
 
         params = {
             k: (reshard(v) if k == "entity_embedding" else v)

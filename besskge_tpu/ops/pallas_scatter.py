@@ -32,12 +32,16 @@ _W = 16
 def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
     del table_ref  # aliased with out_ref; input exists only for the alias.
     n = idx_ref.shape[0]
+    three_d = len(out_ref.shape) == 3
 
     def dma(i):
+        dst = (
+            out_ref.at[0, pl.ds(idx_ref[i], 1)]
+            if three_d
+            else out_ref.at[pl.ds(idx_ref[i], 1)]
+        )
         return pltpu.make_async_copy(
-            rows_ref.at[pl.ds(i, 1)],
-            out_ref.at[pl.ds(idx_ref[i], 1)],
-            sems.at[i % _W],
+            rows_ref.at[pl.ds(i, 1)], dst, sems.at[i % _W]
         )
 
     def body(i, _):
@@ -72,7 +76,9 @@ def scatter_rows(
 ) -> jnp.ndarray:
     """Return ``table`` with ``table[idx[i]] = rows[i]`` — in place on TPU.
 
-    :param table: (n_rows, D) table; DONATED (the output aliases it).
+    :param table: (n_rows, D) table, or its (1, n_rows, D) per-device block
+        (pass the block UNSQUEEZED: a reshape would re-introduce the bitcast
+        that defeats XLA's alias analysis); DONATED (the output aliases it).
     :param idx: (R,) int32 row indices; duplicates allowed if their rows are
         identical.
     :param rows: (R, D) replacement rows (cast to the table dtype).

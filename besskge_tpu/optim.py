@@ -34,17 +34,26 @@ import numpy as np
 __all__ = ["RowAdamW", "RowSGDM", "RowAdagrad", "EntityRowOptimizer"]
 
 
+def _flat(table: jnp.ndarray) -> jnp.ndarray:
+    """Read view of a table that may carry a leading unit (device) axis."""
+    return table[0] if table.ndim == 3 else table
+
+
 def _apply_rows(
     table: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray
 ) -> jnp.ndarray:
     """Duplicate-safe idempotent row writes; on TPU with 128-aligned rows
     this is the in-place Pallas DMA kernel (no table-sized copy — XLA's
-    scatter copies the whole table otherwise)."""
+    scatter copies the whole table otherwise). ``table`` may be the raw
+    (1, n_rows, D) per-device block — it is passed through unreshaped so
+    XLA can alias the donated buffer."""
     if jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0:
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
         return scatter_rows(table, idx, rows)
-    return table.at[idx].set(rows)
+    if table.ndim == 3:
+        return table.at[0, idx].set(rows.astype(table.dtype))
+    return table.at[idx].set(rows.astype(table.dtype))
 
 
 class EntityRowOptimizer:
@@ -120,14 +129,14 @@ class RowAdamW(EntityRowOptimizer):
     def update_rows(self, table, state, idx, grad_rows):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
         count = state["count"] + 1
-        mu_rows = self.b1 * jnp.take(state["mu"], idx, axis=0) + (1 - self.b1) * g
-        nu_rows = self.b2 * jnp.take(state["nu"], idx, axis=0) + (
+        mu_rows = self.b1 * jnp.take(_flat(state["mu"]), idx, axis=0) + (1 - self.b1) * g
+        nu_rows = self.b2 * jnp.take(_flat(state["nu"]), idx, axis=0) + (
             1 - self.b2
         ) * (g * g)
         t = count.astype(jnp.float32)
         mu_hat = mu_rows / (1 - self.b1**t)
         nu_hat = nu_rows / (1 - self.b2**t)
-        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
         upd = self.learning_rate * (
             mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p_rows
         )
@@ -161,12 +170,12 @@ class RowSGDM(EntityRowOptimizer):
 
     def update_rows(self, table, state, idx, grad_rows):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
-        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
         new_state = dict(state, count=state["count"] + 1)
         if self.momentum != 0.0:
-            m_rows = self.momentum * jnp.take(state["m"], idx, axis=0) + g
+            m_rows = self.momentum * jnp.take(_flat(state["m"]), idx, axis=0) + g
             new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
         new_rows = (p_rows - self.learning_rate * g).astype(table.dtype)
@@ -188,8 +197,8 @@ class RowAdagrad(EntityRowOptimizer):
 
     def update_rows(self, table, state, idx, grad_rows):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
-        acc_rows = jnp.take(state["acc"], idx, axis=0) + g * g
-        p_rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+        acc_rows = jnp.take(_flat(state["acc"]), idx, axis=0) + g * g
+        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
         new_rows = (
             p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
         ).astype(table.dtype)

@@ -125,13 +125,20 @@ class BaseScoreFunction(ABC):
 
     def initial_params(self) -> Params:
         """The initial learnable state as a pytree of numpy arrays
-        (host-side; prefer :meth:`initial_params_device` for large tables)."""
+        (host-side; prefer :meth:`initial_params_device` for large tables).
+
+        The entity table's params layout is 2-D ``(n_shard *
+        max_entity_per_shard, row)`` — shard s owns the contiguous row block
+        ``[s*max_entity_per_shard, (s+1)*max_entity_per_shard)``. (The 3-D
+        view exists only host-side: XLA's default TPU layout for huge
+        leading-unit 3-D arrays degenerates to (1, 128) tiling, which costs
+        a full-table relayout copy at every Pallas row update.)"""
         ent_init, ent_slices = self._entity_spec
         rel_init, rel_slices = self._relation_spec
         return {
             "entity_embedding": initialize_entity_embedding(
                 self.sharding, ent_init, ent_slices, seed=self.seed
-            ).astype(self.dtype, copy=False),
+            ).astype(self.dtype, copy=False).reshape(-1, self.entity_row_size),
             "relation_embedding": initialize_relation_embedding(
                 self.n_relation_type,
                 self.inverse_relations,
@@ -157,8 +164,7 @@ class BaseScoreFunction(ABC):
 
         n_rel = self.n_relation_type * (2 if self.inverse_relations else 1)
         ent_shape = (
-            self.sharding.n_shard,
-            self.sharding.max_entity_per_shard,
+            self.sharding.n_shard * self.sharding.max_entity_per_shard,
             self.entity_row_size,
         )
         rel_shape = (n_rel, self.relation_row_size)
@@ -201,10 +207,17 @@ class BaseScoreFunction(ABC):
     def update_sharding(self, params: Params, new_sharding: Sharding) -> Params:
         """Re-shard a (trained) entity table to a new device topology
         (reference ``besskge/scoring.py:126-142``)."""
-        table = np.asarray(params["entity_embedding"])
-        new_table = refactor_embedding_sharding(table, self.sharding, new_sharding)
+        table = np.asarray(params["entity_embedding"]).reshape(
+            self.sharding.n_shard, self.sharding.max_entity_per_shard, -1
+        )
+        new_table = refactor_embedding_sharding(
+            table.astype(np.float32), self.sharding, new_sharding
+        ).astype(table.dtype)
         self.sharding = new_sharding
-        return {**params, "entity_embedding": new_table.astype(table.dtype)}
+        return {
+            **params,
+            "entity_embedding": new_table.reshape(-1, new_table.shape[-1]),
+        }
 
     def relation_embedding(
         self, params: Params, relation_id: jnp.ndarray

@@ -19,6 +19,7 @@ as a ``Trainer`` with a jitted ``shard_map`` train step:
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
@@ -88,7 +89,10 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
     from besskge_tpu.bess import _FORWARD_KEYS
 
     def step(params, opt_state, batch, rng=None):
-        table = params["entity_embedding"][0]
+        # 2-D table block (max_entity_per_shard, row): no squeeze — any
+        # reshape would insert a bitcast between the donated buffer and the
+        # in-place Pallas writes, and XLA then copies the whole table.
+        table = params["entity_embedding"]
         other = {k: v for k, v in params.items() if k != "entity_embedding"}
         if rng is not None and bess.axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(bess.axis_name))
@@ -103,8 +107,7 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
             lambda x: jnp.zeros(x.shape, x.dtype), other
         )
 
-        def body(acc_other, inp):
-            mb, step_rng = inp
+        def body(acc_other, mb, step_rng):
             idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
             gathered = jnp.take(table, idx, axis=0)
             srng = step_rng if rng is not None else None
@@ -122,17 +125,28 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
             acc_other = jax.tree.map(jnp.add, acc_other, g_other)
             return acc_other, (out, idx.reshape(-1), g_gathered)
 
-        acc_other, (outs, idxs, g_rows) = jax.lax.scan(
-            body, zero_other, (mbs, rngs)
-        )
-        # Sparse entity update over all micro-batches' touched rows.
+        # Unrolled micro-batch loop: a lax.scan here would thread the table
+        # through a while-loop, defeating XLA's alias analysis for the
+        # in-place Pallas row updates below (observed as full-table copies).
+        acc_other = zero_other
+        outs_l, idxs_l, g_rows_l = [], [], []
+        for i in range(bps):
+            mb_i = {k: v[i] for k, v in mbs.items()}
+            acc_other, (out_i, idx_i, g_i) = body(acc_other, mb_i, rngs[i])
+            outs_l.append(out_i)
+            idxs_l.append(idx_i)
+            g_rows_l.append(g_i)
+        outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_l)
+        idxs = jnp.stack(idxs_l)
+        g_rows = jnp.stack(g_rows_l)
+        # Sparse entity update over all micro-batches' touched rows. The raw
+        # 3-D (1, M, row) blocks go in UNRESHAPED: any squeeze would insert a
+        # bitcast between the donated buffers and the in-place Pallas writes,
+        # and XLA then falls back to full-table copies.
         row = g_rows.shape[-1]
         new_table, new_ent_state = entity_optimizer.update_rows(
-            table,
-            {
-                k: (v[0] if hasattr(v, "ndim") and v.ndim == 3 else v)
-                for k, v in opt_state["entity"].items()
-            },
+            params["entity_embedding"],
+            opt_state["entity"],
             idxs.reshape(-1),
             g_rows.reshape(-1, row),
         )
@@ -143,14 +157,8 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
         )
         new_other = optax.apply_updates(other, updates)
         new_params = dict(new_other)
-        new_params["entity_embedding"] = new_table[None]
-        new_opt_state = {
-            "entity": {
-                k: (v[None] if hasattr(v, "ndim") and v.ndim == 2 else v)
-                for k, v in new_ent_state.items()
-            },
-            "other": new_other_state,
-        }
+        new_params["entity_embedding"] = new_table
+        new_opt_state = {"entity": new_ent_state, "other": new_other_state}
         return new_params, new_opt_state, _format_outputs(bess, outs)
 
     return step
@@ -161,6 +169,7 @@ def build_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     entity_optimizer: Optional["EntityRowOptimizer"] = None,
+    donate: bool = True,
 ) -> Callable:
     """Build ``fn(params, opt_state, batch[, rng]) -> (params, opt_state,
     outputs)`` — the full BESS training step, jitted over the mesh.
@@ -197,12 +206,13 @@ def build_train_step(
         else dense_device_train_step
     )
 
+    donate_args = (0, 1) if donate else ()
     if mesh is None:
         if bess.axis_name is not None:
             raise ValueError("A mesh is required unless axis_name is None")
-        return jax.jit(device_train_step, donate_argnums=(0, 1))
+        return jax.jit(device_train_step, donate_argnums=donate_args)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=donate_args)
     def fn(params, opt_state, batch, rng=None):
         from besskge_tpu.bess import _FORWARD_KEYS
 

@@ -96,12 +96,12 @@ def test_checkpoint_roundtrip_and_reshard(tmp_path):
     # Reshard to 2 devices: per-entity rows identical, moments follow.
     new_sharding = Sharding.create(N_ENTITY, 2, seed=9)
     p3, o3, s3, _ = load_checkpoint(f, new_sharding=new_sharding)
-    flat_old = host_params["entity_embedding"][
-        sharding.entity_to_shard, sharding.entity_to_idx
-    ]
-    flat_new = p3["entity_embedding"][
-        new_sharding.entity_to_shard, new_sharding.entity_to_idx
-    ]
+    def unshard(table2, sh):
+        t3 = table2.reshape(sh.n_shard, sh.max_entity_per_shard, -1)
+        return t3[sh.entity_to_shard, sh.entity_to_idx]
+
+    flat_old = unshard(host_params["entity_embedding"], sharding)
+    flat_new = unshard(p3["entity_embedding"], new_sharding)
     np.testing.assert_allclose(flat_old, flat_new)
     # Adam moments resharded the same way (find a table-shaped leaf).
     found = []
@@ -117,10 +117,8 @@ def test_checkpoint_roundtrip_and_reshard(tmp_path):
             hasattr(node, "shape")
             and node.shape == host_params["entity_embedding"].shape
         ):
-            a = np.asarray(node)[sharding.entity_to_shard, sharding.entity_to_idx]
-            b = np.asarray(new_node)[
-                new_sharding.entity_to_shard, new_sharding.entity_to_idx
-            ]
+            a = unshard(np.asarray(node), sharding)
+            b = unshard(np.asarray(new_node), new_sharding)
             np.testing.assert_allclose(a, b)
             found.append(True)
 

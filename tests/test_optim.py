@@ -86,12 +86,12 @@ def test_sparse_sgd_matches_dense():
     dense_opt = optax.sgd(0.5)
     p_dense = params0
     s_dense = init_optimizer_state(dense_opt, p_dense, mesh)
-    step_dense = build_train_step(bess, dense_opt, mesh)
+    step_dense = build_train_step(bess, dense_opt, mesh, donate=False)
 
     p_sparse = params0
     row_opt = RowSGDM(learning_rate=0.5, momentum=0.0)
     s_sparse = init_optimizer_state(dense_opt, p_sparse, mesh, row_opt)
-    step_sparse = build_train_step(bess, dense_opt, mesh, row_opt)
+    step_sparse = build_train_step(bess, dense_opt, mesh, row_opt, donate=False)
 
     for b in batches:
         p_dense, s_dense, out_d = step_dense(p_dense, s_dense, b)
@@ -168,8 +168,10 @@ def test_sparse_adamw_trains_and_respects_padding():
     # Padding rows (ids >= n_entity) never move: their local rows are never
     # in any gather plan because samplers only emit real local ids.
     pad = sharding.shard_and_idx_to_entity >= N_ENTITY
+    shape3 = (N_SHARD, sharding.max_entity_per_shard, -1)
     np.testing.assert_array_equal(
-        np.asarray(params["entity_embedding"])[pad], ent0[pad]
+        np.asarray(params["entity_embedding"]).reshape(shape3)[pad],
+        ent0.reshape(shape3)[pad],
     )
 
 

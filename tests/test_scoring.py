@@ -227,14 +227,14 @@ def test_triplere_v2_offset(sharding):
 def test_update_sharding_preserves_rows(sharding):
     model = _make(TransE, sharding, False)
     params = model.initial_params()
-    old_flat = params["entity_embedding"][
-        sharding.entity_to_shard, sharding.entity_to_idx
-    ]
+    old_flat = params["entity_embedding"].reshape(
+        4, sharding.max_entity_per_shard, -1
+    )[sharding.entity_to_shard, sharding.entity_to_idx]
     new_sharding = Sharding.create(n_entity=N_ENTITY, n_shard=2, seed=9)
     new_params = model.update_sharding(params, new_sharding)
-    new_flat = new_params["entity_embedding"][
-        new_sharding.entity_to_shard, new_sharding.entity_to_idx
-    ]
+    new_flat = new_params["entity_embedding"].reshape(
+        2, new_sharding.max_entity_per_shard, -1
+    )[new_sharding.entity_to_shard, new_sharding.entity_to_idx]
     np.testing.assert_allclose(old_flat, new_flat)
     assert model.sharding is new_sharding
 

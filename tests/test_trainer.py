@@ -72,7 +72,7 @@ def test_gradient_parity_with_unsharded_model():
     )
     mesh = make_shard_mesh(N_SHARD)
     sgd = optax.sgd(1.0)
-    step = build_train_step(bess, sgd, mesh)
+    step = build_train_step(bess, sgd, mesh, donate=False)
 
     params0 = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
     opt_state = init_optimizer_state(sgd, params0, mesh)
@@ -81,7 +81,9 @@ def test_gradient_parity_with_unsharded_model():
     new_params, _, out = step(params0, opt_state, jbatch)
 
     # ---- golden: same loss on the unsharded table -----------------------
-    ent0 = np.asarray(params0["entity_embedding"])
+    ent0 = np.asarray(params0["entity_embedding"]).reshape(
+        N_SHARD, sharding.max_entity_per_shard, -1
+    )
     rel0 = np.asarray(params0["relation_embedding"])
     flat0 = ent0[sharding.entity_to_shard, sharding.entity_to_idx]
     s2e = sharding.shard_and_idx_to_entity
@@ -116,7 +118,9 @@ def test_gradient_parity_with_unsharded_model():
     )
 
     # Distributed update was params - grad (SGD lr=1).
-    delta_ent = ent0 - np.asarray(new_params["entity_embedding"])
+    delta_ent = ent0 - np.asarray(new_params["entity_embedding"]).reshape(
+        ent0.shape
+    )
     delta_flat = delta_ent[sharding.entity_to_shard, sharding.entity_to_idx]
     np.testing.assert_allclose(
         delta_flat, np.asarray(grad_flat), rtol=1e-4, atol=1e-5
