@@ -842,12 +842,20 @@ def _device_step(bess: BessKGE, params, batch, train=False, rng=None):
         else jnp.zeros((bps, 2), jnp.uint32)
     )
 
-    def body(_, inp):
-        mb, step_rng = inp
-        out = bess.forward(
+    def body_fn(mb, step_rng):
+        return bess.forward(
             local, train=train, rng=step_rng if rng is not None else None, **mb
         )
-        return None, out
+
+    if bess.axis_name is None:
+        # Single device: no collectives in the body, so the micro-batches
+        # can be vmapped — one fused program instead of a while loop (the
+        # scan's per-iteration overhead dominates small micro-batches).
+        return jax.vmap(body_fn)(mbs, rngs)
+
+    def body(_, inp):
+        mb, step_rng = inp
+        return None, body_fn(mb, step_rng)
 
     _, outs = jax.lax.scan(body, None, (mbs, rngs))
     return outs  # each leaf: (bps, ...)

@@ -107,7 +107,7 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
             lambda x: jnp.zeros(x.shape, x.dtype), other
         )
 
-        def body(acc_other, mb, step_rng):
+        def mb_fn(mb, step_rng):
             idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
             gathered = jnp.take(table, idx, axis=0)
             srng = step_rng if rng is not None else None
@@ -122,23 +122,31 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
 
             _, vjp, out = jax.vjp(f, gathered, other, has_aux=True)
             g_gathered, g_other = vjp(jnp.ones((), jnp.float32))
-            acc_other = jax.tree.map(jnp.add, acc_other, g_other)
-            return acc_other, (out, idx.reshape(-1), g_gathered)
+            return out, idx.reshape(-1), g_gathered, g_other
 
-        # Unrolled micro-batch loop: a lax.scan here would thread the table
-        # through a while-loop, defeating XLA's alias analysis for the
-        # in-place Pallas row updates below (observed as full-table copies).
-        acc_other = zero_other
-        outs_l, idxs_l, g_rows_l = [], [], []
-        for i in range(bps):
-            mb_i = {k: v[i] for k, v in mbs.items()}
-            acc_other, (out_i, idx_i, g_i) = body(acc_other, mb_i, rngs[i])
-            outs_l.append(out_i)
-            idxs_l.append(idx_i)
-            g_rows_l.append(g_i)
-        outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_l)
-        idxs = jnp.stack(idxs_l)
-        g_rows = jnp.stack(g_rows_l)
+        # No lax.scan here: threading the table through a while loop defeats
+        # XLA's alias analysis for the in-place Pallas row updates below
+        # (observed as full-table copies per step).
+        if bess.axis_name is None:
+            # Single device (no collectives): fuse micro-batches with vmap.
+            outs, idxs, g_rows, g_other_all = jax.vmap(mb_fn)(mbs, rngs)
+            acc_other = jax.tree.map(
+                lambda z, x: z + jnp.sum(x, axis=0), zero_other, g_other_all
+            )
+        else:
+            # Mesh path: collectives in the body — unrolled python loop.
+            acc_other = zero_other
+            outs_l, idxs_l, g_rows_l = [], [], []
+            for i in range(bps):
+                mb_i = {k: v[i] for k, v in mbs.items()}
+                out_i, idx_i, g_i, g_o = mb_fn(mb_i, rngs[i])
+                acc_other = jax.tree.map(jnp.add, acc_other, g_o)
+                outs_l.append(out_i)
+                idxs_l.append(idx_i)
+                g_rows_l.append(g_i)
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_l)
+            idxs = jnp.stack(idxs_l)
+            g_rows = jnp.stack(g_rows_l)
         # Sparse entity update over all micro-batches' touched rows. The raw
         # 3-D (1, M, row) blocks go in UNRESHAPED: any squeeze would insert a
         # bitcast between the donated buffers and the in-place Pallas writes,

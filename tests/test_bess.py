@@ -260,3 +260,87 @@ def test_embedding_moving_local_sampling():
         np.testing.assert_allclose(
             neg_score[dev][mask], expected[mask], rtol=1e-4, atol=1e-4
         )
+
+
+def test_score_moving_random_flat_negatives():
+    """ScoreMoving + Random flat sampler: every query is scored against ALL
+    shards' sampled pools (n_shard x n_negative columns, source-major)."""
+    from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=N_RELATION_TYPE,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples=TRIPLES,
+        original_triple_ids={k: np.arange(v.shape[0]) for k, v in TRIPLES.items()},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    pts = PartitionedTripleSet.create_from_dataset(
+        ds, "test", sharding, partition_mode="ht_shardpair"
+    )
+    score_fn = TransE(
+        negative_sample_sharing=True,
+        scoring_norm=1,
+        sharding=sharding,
+        n_relation_type=N_RELATION_TYPE,
+        embedding_size=EMBEDDING_SIZE,
+        entity_initializer=entity_table,
+        relation_initializer=relation_table,
+    )
+    n_neg = 6
+    ns = RandomShardedNegativeSampler(
+        n_neg, sharding, SEED, "t", local_sampling=False,
+        flat_negative_format=True, use_native=False,
+    )
+    bs = RigidShardedBatchSampler(
+        partitioned_triple_set=pts,
+        negative_sampler=ns,
+        shard_bs=SHARD_BS,
+        batches_per_step=1,
+        seed=SEED,
+        return_triple_idx=True,
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    bess = ScoreMovingBessKGE(
+        negative_sampler=ns, score_fn=score_fn, return_scores=True
+    )
+    fwd = build_bess_forward(bess, mesh)
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+    flat_table = entity_table[sharding.entity_to_shard, sharding.entity_to_idx]
+
+    batch = bs.sample_batch(next(bs.epoch_index_blocks(shuffle=False)))
+    res = jax.tree.map(
+        np.asarray, fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    trip_idx = batch["triple_idx"][0]
+    mask = batch["triple_mask"][0]
+    negs = batch["negative"][0]  # (S_src, S_dest, 1, n_neg)
+    orig = TRIPLES["test"][pts.triple_sort_idx][trip_idx]
+    g_params = {"relation_embedding": jnp.asarray(relation_table)}
+
+    for dev in range(N_SHARD):
+        # Column order: (source shard major, then that source's flat pool of
+        # S_dest*n_neg draws). On source s the local pool enumerates
+        # (dest, n_neg) in order.
+        pool_global = np.concatenate(
+            [
+                sharding.shard_and_idx_to_entity[s][negs[s].reshape(-1)]
+                for s in range(N_SHARD)
+            ]
+        )
+        trips = orig[dev].reshape(-1, 3)
+        expected = np.asarray(
+            score_fn.score_tails(
+                g_params,
+                jnp.asarray(flat_table[trips[:, 0]]),
+                jnp.asarray(trips[:, 1].astype(np.int32)),
+                jnp.asarray(flat_table[pool_global])[None],
+            )
+        )
+        m = mask[dev].reshape(-1)
+        np.testing.assert_allclose(
+            res["negative_score"][0][dev][m], expected[m], rtol=1e-4, atol=1e-4
+        )

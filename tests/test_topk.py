@@ -247,3 +247,45 @@ def test_allscores_full_matrix():
             full[mask], golden[orig[mask]], rtol=1e-4, atol=1e-4
         )
         break
+
+
+def test_topk_head_queries():
+    """(?, r, t) completion: 'rt' query set + 'h' corruption scheme."""
+    score_fn = _score_fn()
+    queries = np.stack([query_r, query_h], 1).astype(np.int32)  # (r, t)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds, sharding, queries, "rt", ground_truth=ground_truth.astype(np.int32)
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="h", seed=SEED)
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=1, seed=SEED,
+        return_triple_idx=True,
+    )
+    topk = TopKQueryBessKGE(
+        k=K, candidate_sampler=ns, score_fn=score_fn, return_scores=True,
+        window_size=64,
+    )
+    fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    # Golden: score_heads over all entities, queries are (r, tail=query_h).
+    g_params = {"relation_embedding": jnp.asarray(relation_table)}
+    golden = np.asarray(
+        score_fn.score_heads(
+            g_params,
+            jnp.asarray(flat_table)[None],
+            jnp.asarray(query_r.astype(np.int32)),
+            jnp.asarray(flat_table[query_h]),
+        )
+    )
+    golden_topk = np.argsort(-golden, axis=1)[:, :K]
+
+    for block in bs.epoch_index_blocks(shuffle=False):
+        batch = bs.sample_batch(block)
+        out = fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        ids = np.asarray(out["topk_global_id"]).reshape(-1, K)
+        mask = batch["triple_mask"].reshape(-1)
+        tidx = batch["triple_idx"].reshape(-1)
+        orig = pts.triple_sort_idx[tidx[mask]]
+        np.testing.assert_array_equal(ids[mask], golden_topk[orig])
+        break
