@@ -7,7 +7,11 @@ the TPU-native choices: d=128 rows (MXU/VPU-aligned), sparse row-wise SGDM
 (the dense IPU-style update is HBM-bound on TPU), device-side table init.
 
 Reference baseline: ~4.47 s/epoch for 1.9e7 triples on 4 IPUs ≈ 4.3M pos
-triples/s ≈ 1.08M/s/chip. Prints ONE JSON line like bench.py.
+triples/s ≈ 1.08M/s/chip. The reference ran fp16 weights+compute; this bench
+uses fp32 tables by default (pass --bf16 for bf16 tables — note 16-bit
+tables fall back to XLA's copying scatter for the sparse update, so fp32
+is faster for training; bf16 is for inference/capacity). Prints ONE JSON
+line.
 """
 
 import json
@@ -69,6 +73,7 @@ def main() -> None:
     )
     sharding = Sharding.create(N_ENTITY, 1, seed=0)
     pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     score_fn = TransE(
         negative_sample_sharing=True,
         scoring_norm=1,
@@ -76,6 +81,7 @@ def main() -> None:
         n_relation_type=N_RELATION,
         embedding_size=D,
         seed=0,
+        dtype=dtype,
     )
     params = score_fn.initial_params_device()
     ns = RandomShardedNegativeSampler(

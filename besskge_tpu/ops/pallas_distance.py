@@ -23,11 +23,13 @@ __all__ = ["l1_distance_matrix"]
 
 def _l1_kernel(a_ref, b_ref, o_ref):
     # a_ref: (TB, D), b_ref: (TN, D), o_ref: (TB, TN).
-    a = a_ref[:].astype(jnp.float32)
-    b = b_ref[:].astype(jnp.float32)
+    # Subtract/abs in the input dtype (bf16 runs at 2x VPU width);
+    # accumulate the reduction in fp32.
+    a = a_ref[:]
+    b = b_ref[:]
     # (TB, TN, D) lives in VMEM/registers only for this tile.
     diff = jnp.abs(a[:, None, :] - b[None, :, :])
-    o_ref[:] = jnp.sum(diff, axis=-1).astype(o_ref.dtype)
+    o_ref[:] = jnp.sum(diff, axis=-1, dtype=jnp.float32).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:

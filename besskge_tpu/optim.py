@@ -44,13 +44,21 @@ def _apply_rows(
 ) -> jnp.ndarray:
     """Duplicate-safe idempotent row writes; on TPU with 128-aligned rows
     this is the in-place Pallas DMA kernel (no table-sized copy — XLA's
-    scatter copies the whole table otherwise). ``table`` may be the raw
-    (1, n_rows, D) per-device block — it is passed through unreshaped so
-    XLA can alias the donated buffer."""
-    if jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0:
+    scatter copies the whole table otherwise).
+
+    Only 32-bit tables take the kernel: Mosaic's packed (2,1) sublane
+    tiling cannot express single-row slices of 16-bit HBM memrefs (and a
+    uint32 bitcast is a physical shuffle on TPU, not a free view). 16-bit
+    tables fall back to the XLA scatter — prefer fp32 tables for
+    sparse-update-heavy training; use bf16 for inference/capacity."""
+    if (
+        jax.default_backend() == "tpu"
+        and table.shape[-1] % 128 == 0
+        and table.dtype.itemsize == 4
+    ):
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
-        return scatter_rows(table, idx, rows)
+        return scatter_rows(table, idx, rows.astype(table.dtype))
     if table.ndim == 3:
         return table.at[0, idx].set(rows.astype(table.dtype))
     return table.at[idx].set(rows.astype(table.dtype))
