@@ -21,7 +21,6 @@ from abc import ABC, abstractmethod
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
-from numpy.typing import NDArray
 
 from besskge_tpu.negative_sampler import ShardedNegativeSampler
 from besskge_tpu.sharding import PartitionedTripleSet

@@ -66,9 +66,13 @@ def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
         sq = jnp.maximum(a2 + b2 - 2.0 * ab, _EPS)
         return jnp.sqrt(sq).astype(a.dtype)
     if p == 1:
-        if jax.default_backend() == "tpu":
-            # Pallas tiled kernel: no (B, N, d) HBM intermediate.
+        # XLA's fused broadcast wins while the (B, N, d) intermediate is
+        # fusion-sized; the Pallas tiled kernel takes over when it would
+        # spill to HBM (large candidate pools).
+        if (
+            jax.default_backend() == "tpu"
+            and a.shape[0] * b.shape[0] * a.shape[-1] >= (1 << 26)
+        ):
             return _l1_pallas(a, b)
-        # VPU/CPU path; XLA fuses the abs/sub/sum.
         return _l1_broadcast(a, b)
     raise ValueError(f"Unsupported distance order p={p}")

@@ -25,7 +25,7 @@ No reference equivalent — this replaces ``poptorch.optim`` dense updates
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

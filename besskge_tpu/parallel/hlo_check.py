@@ -14,7 +14,7 @@ throughput.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence
 
 import jax
 

@@ -8,7 +8,7 @@ wrapped around the jitted :class:`besskge_tpu.bess.AllScoresBESS` window step.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -3,11 +3,11 @@
 Capability parity with reference ``besskge/scoring.py:28-1751``
 (graphcore-research/bess-kge), re-designed functional-first for XLA:
 
-* A score function object holds *static* configuration and host-side table
+* A score function object holds *static* configuration and table
   construction; the learnable state lives in an explicit ``params`` pytree
-  (``{"entity_embedding": (n_shard, max_ent_per_shard, row),
-  "relation_embedding": (n_relation, row), ...}``) threaded through every
-  method — so the whole train step is a pure function that ``jax.jit`` /
+  (``{"entity_embedding": (n_shard * max_ent_per_shard, row) — shard-major
+  2-D, "relation_embedding": (n_relation, row), ...}``) threaded through
+  every method — so the whole train step is a pure function that ``jax.jit`` /
   ``shard_map`` / ``jax.grad`` compose over.
 * With ``negative_sample_sharing``, matrix-decomposition models score the
   candidate pool with one MXU matmul and distance models use the
@@ -28,7 +28,7 @@ Score-method shape contract (matches reference ``scoring.py:46-112``):
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -89,7 +89,7 @@ class BaseScoreFunction(ABC):
 
     #: Share negative entities across all queries of the micro-batch.
     negative_sample_sharing: bool
-    #: Entity sharding (table layout is (n_shard, max_entity_per_shard, row)).
+    #: Entity sharding (device table layout: 2-D shard-major rows).
     sharding: Sharding
     #: Width of one entity-table row.
     entity_row_size: int

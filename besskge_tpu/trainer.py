@@ -12,15 +12,16 @@ as a ``Trainer`` with a jitted ``shard_map`` train step:
 * gradients of replicated parameters (relation table, ConvE trunk) are
   ``psum``-reduced over the mesh axis — the data-parallel reduction that
   PopTorch applied implicitly;
-* `bps` micro-batches per step run in an on-device ``lax.scan`` (the analog
-  of ``deviceIterations × gradientAccumulation``), accumulating gradients.
+* `bps` micro-batches per step (the analog of ``deviceIterations ×
+  gradientAccumulation``) are fused with ``vmap`` on a single device, or
+  unrolled on the mesh, accumulating gradients.
 """
 
 from __future__ import annotations
 
 import time
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,10 +148,9 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
             outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_l)
             idxs = jnp.stack(idxs_l)
             g_rows = jnp.stack(g_rows_l)
-        # Sparse entity update over all micro-batches' touched rows. The raw
-        # 3-D (1, M, row) blocks go in UNRESHAPED: any squeeze would insert a
-        # bitcast between the donated buffers and the in-place Pallas writes,
-        # and XLA then falls back to full-table copies.
+        # Sparse entity update over all micro-batches' touched rows; the
+        # 2-D table block goes in unreshaped so the donated buffer aliases
+        # straight through to the in-place Pallas writes.
         row = g_rows.shape[-1]
         new_table, new_ent_state = entity_optimizer.update_rows(
             params["entity_embedding"],
