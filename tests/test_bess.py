@@ -344,3 +344,84 @@ def test_score_moving_random_flat_negatives():
         np.testing.assert_allclose(
             res["negative_score"][0][dev][m], expected[m], rtol=1e-4, atol=1e-4
         )
+
+
+def test_type_based_negatives_on_device():
+    """TypeBased sampler end-to-end: every negative scored on device must be
+    an entity of the corrupted slot's type."""
+    from besskge_tpu.negative_sampler import TypeBasedShardedNegativeSampler
+
+    n_ent, n_types = 240, 3
+    type_offsets = np.asarray([0, 80, 160])
+    typed_sharding = Sharding.create(
+        n_ent, N_SHARD, seed=7, type_offsets=type_offsets
+    )
+    local_rng = np.random.default_rng(7)
+    h = local_rng.integers(n_ent, size=600)
+    r = local_rng.integers(N_RELATION_TYPE, size=600)
+    t = local_rng.integers(n_ent, size=600)
+    ds = KGDataset(
+        n_entity=n_ent,
+        n_relation_type=N_RELATION_TYPE,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets={"a": 0, "b": 80, "c": 160},
+        triples={"test": np.stack([h, r, t], 1).astype(np.int32)},
+        original_triple_ids={"test": np.arange(600)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    pts = PartitionedTripleSet.create_from_dataset(ds, "test", typed_sharding)
+    table = local_rng.normal(
+        size=(N_SHARD, typed_sharding.max_entity_per_shard, 16)
+    ).astype(np.float32)
+    rel = local_rng.normal(size=(N_RELATION_TYPE, 16)).astype(np.float32)
+    score_fn = TransE(
+        negative_sample_sharing=False,
+        scoring_norm=1,
+        sharding=typed_sharding,
+        n_relation_type=N_RELATION_TYPE,
+        embedding_size=16,
+        entity_initializer=table,
+        relation_initializer=rel,
+    )
+    ns = TypeBasedShardedNegativeSampler(
+        pts.types, 5, typed_sharding, "t", local_sampling=False, seed=7
+    )
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=24, batches_per_step=1, seed=7,
+        return_triple_idx=True,
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns, score_fn=score_fn, return_scores=True
+    )
+    fwd = build_bess_forward(bess, mesh)
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+    batch = bs.sample_batch(next(bs.epoch_index_blocks(shuffle=False)))
+    res = jax.tree.map(
+        np.asarray, fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    assert np.isfinite(res["negative_score"]).all()
+
+    # Type correctness: negatives for triple (dev, part, pos) must share the
+    # TAIL's type. negatives layout (src, dest, B=bs, n_neg) of local ids.
+    negs = batch["negative"][0]
+    trip_idx = batch["triple_idx"][0]
+    mask = batch["triple_mask"][0]
+    orig = ds.triples["test"][pts.triple_sort_idx]
+    for src in range(N_SHARD):
+        for dev in range(N_SHARD):
+            flat_trips = orig[trip_idx[dev].reshape(-1)]
+            flat_mask = mask[dev].reshape(-1)
+            globals_ = typed_sharding.shard_and_idx_to_entity[src][
+                negs[src, dev]
+            ]  # (bs, n_neg)
+            tail_type = np.digitize(flat_trips[:, 2], type_offsets) - 1
+            neg_type = np.digitize(globals_, type_offsets) - 1
+            np.testing.assert_array_equal(
+                neg_type[flat_mask],
+                np.broadcast_to(
+                    tail_type[:, None], neg_type.shape
+                )[flat_mask],
+            )
