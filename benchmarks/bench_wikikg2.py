@@ -83,6 +83,9 @@ def main() -> None:
         seed=0,
         dtype=dtype,
     )
+    # fp16-compute parity with the reference notebook: bf16 scoring math
+    # over fp32-stored tables (2x VPU width; fp32 loss/update unchanged).
+    score_fn.compute_dtype = jnp.bfloat16
     params = score_fn.initial_params_device()
     ns = RandomShardedNegativeSampler(
         N_NEGATIVE, sharding, 0, "ht", local_sampling=False,

@@ -319,6 +319,9 @@ class EmbeddingMovingBessKGE(BessKGE):
             gathered_emb = jnp.take(
                 table, self.gather_plan(head, tail, negative), axis=0
             )
+        cd = self.score_fn.compute_dtype
+        if cd is not None and gathered_emb.dtype != cd:
+            gathered_emb = gathered_emb.astype(cd)
         emb = gathered_emb
         head_emb = emb[:, :ppp]
         tail_and_neg = emb[:, ppp:]
@@ -437,6 +440,9 @@ class ScoreMovingBessKGE(BessKGE):
             gathered_emb = jnp.take(
                 table, self.gather_plan(head, tail, negative), axis=0
             )
+        cd = self.score_fn.compute_dtype
+        if cd is not None and gathered_emb.dtype != cd:
+            gathered_emb = gathered_emb.astype(cd)
         emb = gathered_emb
         head_emb = emb[:, :ppp]
         tail_emb = emb[:, ppp : 2 * ppp]

@@ -97,6 +97,10 @@ class BaseScoreFunction(ABC):
     relation_row_size: int
     #: Nominal embedding size of the model.
     embedding_size: int
+    #: Optional compute precision for scoring: embeddings/relation rows are
+    #: cast to this dtype after gathering (e.g. ``jnp.bfloat16`` for the
+    #: reference's fp16-compute recipe) while storage stays in ``dtype``.
+    compute_dtype: Any = None
 
     def _build_tables(
         self,
@@ -222,8 +226,12 @@ class BaseScoreFunction(ABC):
     def relation_embedding(
         self, params: Params, relation_id: jnp.ndarray
     ) -> jnp.ndarray:
-        """Gather relation rows from the replicated table."""
-        return jnp.take(params["relation_embedding"], relation_id, axis=0)
+        """Gather relation rows from the replicated table (cast to
+        :attr:`compute_dtype` when set)."""
+        r = jnp.take(params["relation_embedding"], relation_id, axis=0)
+        if self.compute_dtype is not None and r.dtype != self.compute_dtype:
+            r = r.astype(self.compute_dtype)
+        return r
 
     @abstractmethod
     def score_triple(

@@ -175,3 +175,25 @@ def test_assert_catches_bad_allreduce():
 
     with pytest.raises(AssertionError):
         assert_no_entity_allreduce(bad, (4, 8, 16), table)
+
+
+def test_collective_counts_embedding_moving_step():
+    """The BESS promise: ONE forward AllToAll (+ its AD transpose) per
+    training step; no all-gathers; reductions limited to psums of loss +
+    replicated-param grads."""
+    from besskge_tpu.parallel.hlo_check import collective_summary
+
+    bess, bs, sf, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in sf.initial_params().items()}, mesh
+    )
+    opt = optax.adam(1e-2)
+    opt_state = init_optimizer_state(opt, params, mesh)
+    step = build_train_step(bess, opt, mesh, donate=False)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    counts = collective_summary(
+        lambda p, s, b: step(p, s, b), params, opt_state, batch
+    )
+    assert counts["all-to-all"] == 2, counts  # forward + backward transpose
+    assert counts["all-gather"] == 0, counts

@@ -195,3 +195,72 @@ def test_sparse_bf16_table():
     loss1 = float(out["loss"])
     assert params["entity_embedding"].dtype == jnp.bfloat16
     assert np.isfinite(loss1) and loss1 < loss0, (loss0, loss1)
+
+
+def test_sparse_sgd_matches_dense_score_moving():
+    """Sparse-update path through ScoreMoving's AllGather/AllToAll
+    transposes must equal the dense trajectory (SGD, stateless)."""
+    from besskge_tpu.bess import ScoreMovingBessKGE
+
+    bess_em, bs, score_fn, sharding = _setup()
+    bess = ScoreMovingBessKGE(
+        negative_sampler=bess_em.negative_sampler,
+        score_fn=score_fn,
+        loss_fn=bess_em.loss_fn,
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    params0 = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    opt = optax.sgd(0.5)
+
+    p_d = params0
+    s_d = init_optimizer_state(opt, p_d, mesh)
+    step_d = build_train_step(bess, opt, mesh, donate=False)
+    p_s = params0
+    row = RowSGDM(learning_rate=0.5, momentum=0.0)
+    s_s = init_optimizer_state(opt, p_s, mesh, row)
+    step_s = build_train_step(bess, opt, mesh, row, donate=False)
+    for _ in range(2):
+        p_d, s_d, out_d = step_d(p_d, s_d, batch)
+        p_s, s_s, out_s = step_s(p_s, s_s, batch)
+    np.testing.assert_allclose(
+        np.asarray(p_d["entity_embedding"]),
+        np.asarray(p_s["entity_embedding"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_d["relation_embedding"]),
+        np.asarray(p_s["relation_embedding"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_compute_dtype_bf16_training():
+    """bf16-compute over fp32 storage: scores close to fp32, training
+    converges, params stay fp32."""
+    bess, bs, score_fn, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    from besskge_tpu.bess import build_bess_forward
+
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    fwd32 = build_bess_forward(bess, mesh)
+    l32 = float(fwd32(params, batch)["loss"])
+    score_fn.compute_dtype = jnp.bfloat16
+    fwd16 = build_bess_forward(bess, mesh)
+    l16 = float(fwd16(params, batch)["loss"])
+    assert abs(l32 - l16) / abs(l32) < 0.02, (l32, l16)
+
+    row_opt = RowAdamW(learning_rate=5e-2)
+    opt = optax.adam(5e-2)
+    opt_state = init_optimizer_state(opt, params, mesh, row_opt)
+    step = build_train_step(bess, opt, mesh, row_opt, donate=False)
+    for i in range(30):
+        params, opt_state, out = step(params, opt_state, batch)
+    assert params["entity_embedding"].dtype == jnp.float32
+    assert float(out["loss"]) < 0.9 * l16
+    score_fn.compute_dtype = None
