@@ -29,9 +29,13 @@ __all__ = ["scatter_rows"]
 _W = 16
 
 
+#: DMAs issued per loop iteration (amortizes scalar-core loop overhead).
+_U = 4
+
+
 def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
     del table_ref  # aliased with out_ref; input exists only for the alias.
-    n = idx_ref.shape[0]
+    n = idx_ref.shape[0]  # guaranteed a multiple of _U by the caller
     three_d = len(out_ref.shape) == 3
 
     def dma(i):
@@ -44,16 +48,18 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
             rows_ref.at[pl.ds(i, 1)], dst, sems.at[i % _W]
         )
 
-    def body(i, _):
-        # Free the semaphore slot before reuse.
-        @pl.when(i >= _W)
-        def _():
-            dma(i - _W).wait()
+    def body(k, _):
+        base = k * _U
+        for u in range(_U):
+            # Free each semaphore slot before reuse.
+            @pl.when(base + u >= _W)
+            def _():
+                dma(base + u - _W).wait()
 
-        dma(i).start()
+            dma(base + u).start()
         return 0
 
-    jax.lax.fori_loop(0, n, body, 0)
+    jax.lax.fori_loop(0, n // _U, body, 0)
 
     def drain(j, _):
         i = jnp.maximum(n - _W, 0) + j
@@ -84,6 +90,13 @@ def scatter_rows(
     :param rows: (R, D) replacement rows (cast to the table dtype).
     """
     rows = rows.astype(table.dtype)
+    pad = (-idx.shape[0]) % _U
+    if pad:
+        # Idempotent padding: repeat the last (index, row) pair.
+        idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
+        rows = jnp.concatenate(
+            [rows, jnp.broadcast_to(rows[-1:], (pad, rows.shape[-1]))]
+        )
     return pl.pallas_call(
         _scatter_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
