@@ -95,10 +95,10 @@ def main() -> None:
         axis_name=None,
     )
     optimizer = optax.adamw(1e-3)
-    params = {
-        k: jax.device_put(jnp.asarray(v))
-        for k, v in score_fn.initial_params().items()
-    }
+    # Plain optax dense AdamW: at this table size XLA fuses the update into
+    # the backward epilogue and beats the custom fused kernel
+    # (optim.FusedDenseAdamW measured ~12% slower in context).
+    params = score_fn.initial_params_device()
     opt_state = init_optimizer_state(optimizer, params, None)
     step_fn = build_train_step(bess, optimizer, None)
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["RowAdamW", "RowSGDM", "RowAdagrad", "EntityRowOptimizer"]
+__all__ = ["RowAdamW", "RowSGDM", "RowAdagrad", "FusedDenseAdamW", "EntityRowOptimizer"]
 
 
 def _flat(table: jnp.ndarray) -> jnp.ndarray:
@@ -217,3 +217,58 @@ class RowAdagrad(EntityRowOptimizer):
                 "count": state["count"] + 1,
             },
         )
+
+
+@dataclasses.dataclass
+class FusedDenseAdamW:
+    """Dense AdamW over the whole entity table with a fused in-place Pallas
+    kernel (one read+write pass over param/mu/nu/grad — XLA's composed optax
+    update runs at ~1/3 of HBM bandwidth). The right choice for SMALL/MEDIUM
+    tables where sparse row updates don't pay off; gradients are computed
+    densely (scatter-add), so prefer :class:`RowAdamW` at multi-GB scale.
+
+    Off-TPU (and for non-2-D tables) falls back to the same formula in jnp.
+    """
+
+    learning_rate: float
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def init(self, table):
+        return {
+            "mu": jnp.zeros(table.shape, jnp.float32),
+            "nu": jnp.zeros(table.shape, jnp.float32),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def apply_dense(self, table, state, grad):
+        """One step from a DENSE table gradient; returns (table, state)."""
+        count = state["count"] + 1
+        if (
+            jax.default_backend() == "tpu"
+            and table.ndim == 2
+            and table.dtype.itemsize == 4
+        ):
+            from besskge_tpu.ops.pallas_adamw import dense_adamw_update
+
+            p, mu, nu = dense_adamw_update(
+                table, state["mu"], state["nu"], grad, count,
+                lr=self.learning_rate, b1=self.b1, b2=self.b2, eps=self.eps,
+                wd=self.weight_decay,
+            )
+            return p, {"mu": mu, "nu": nu, "count": count}
+        g = grad.astype(jnp.float32)
+        t = count.astype(jnp.float32)
+        mu = self.b1 * state["mu"] + (1 - self.b1) * g
+        nu = self.b2 * state["nu"] + (1 - self.b2) * g * g
+        mu_hat = mu / (1 - self.b1**t)
+        nu_hat = nu / (1 - self.b2**t)
+        p = table.astype(jnp.float32)
+        upd = self.learning_rate * (
+            mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p
+        )
+        return (p - upd).astype(table.dtype), {
+            "mu": mu, "nu": nu, "count": count,
+        }

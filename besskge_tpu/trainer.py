@@ -182,15 +182,27 @@ def build_train_step(
     """Build ``fn(params, opt_state, batch[, rng]) -> (params, opt_state,
     outputs)`` — the full BESS training step, jitted over the mesh.
 
-    With ``entity_optimizer`` (an :class:`besskge_tpu.optim
-    .EntityRowOptimizer`), the entity table takes sparse row-wise updates —
-    no dense table-sized gradient or dense moment update — and ``optimizer``
-    applies to the replicated parameters only. Otherwise ``optimizer``
-    handles everything densely.
+    With ``entity_optimizer`` the table update specializes:
+
+    * :class:`~besskge_tpu.optim.EntityRowOptimizer` (RowAdamW/...) — sparse
+      row-wise updates, no dense table-sized gradient or moment traffic
+      (large tables);
+    * :class:`~besskge_tpu.optim.FusedDenseAdamW` — dense gradients with a
+      fused in-place AdamW Pallas kernel (small/medium tables);
+
+    in both cases ``optimizer`` applies to the replicated parameters only.
+    Otherwise ``optimizer`` handles everything densely.
 
     ``outputs`` contains the psum'd global ``loss`` plus whatever the module
     config produces (metrics, scores).
     """
+    from besskge_tpu.optim import FusedDenseAdamW
+
+    fused_dense = (
+        entity_optimizer
+        if isinstance(entity_optimizer, FusedDenseAdamW)
+        else None
+    )
 
     def dense_device_train_step(params, opt_state, batch, rng=None):
         def loss_fn(p):
@@ -204,13 +216,31 @@ def build_train_step(
             k: (g if k == "entity_embedding" else bess.psum(g))
             for k, g in grads.items()
         }
+        if fused_dense is not None:
+            ent_g = grads.pop("entity_embedding")
+            new_table, new_ent_state = fused_dense.apply_dense(
+                params["entity_embedding"], opt_state["entity"], ent_g
+            )
+            other = {
+                k: v for k, v in params.items() if k != "entity_embedding"
+            }
+            updates, new_other_state = optimizer.update(
+                grads, opt_state["other"], other
+            )
+            new_params = optax.apply_updates(other, updates)
+            new_params["entity_embedding"] = new_table
+            return (
+                new_params,
+                {"entity": new_ent_state, "other": new_other_state},
+                _format_outputs(bess, outs),
+            )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, _format_outputs(bess, outs)
 
     device_train_step = (
         _sparse_device_train_step(bess, optimizer, entity_optimizer)
-        if entity_optimizer is not None
+        if entity_optimizer is not None and fused_dense is None
         else dense_device_train_step
     )
 

@@ -264,3 +264,39 @@ def test_compute_dtype_bf16_training():
     assert params["entity_embedding"].dtype == jnp.float32
     assert float(out["loss"]) < 0.9 * l16
     score_fn.compute_dtype = None
+
+
+def test_fused_dense_adamw_matches_optax():
+    """FusedDenseAdamW trajectory == optax.adamw (entity leaf) exactly
+    (CPU fallback path computes the same formula)."""
+    from besskge_tpu.optim import FusedDenseAdamW
+
+    bess, bs, score_fn, sharding = _setup()
+    mesh = make_shard_mesh(N_SHARD)
+    params0 = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}, mesh
+    )
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    lr, wd = 3e-2, 1e-3
+
+    opt = optax.adamw(lr, weight_decay=wd)
+    p_d = params0
+    s_d = init_optimizer_state(opt, p_d, mesh)
+    step_d = build_train_step(bess, opt, mesh, donate=False)
+
+    fused = FusedDenseAdamW(learning_rate=lr, weight_decay=wd)
+    p_f = params0
+    s_f = init_optimizer_state(opt, p_f, mesh, fused)
+    step_f = build_train_step(bess, opt, mesh, fused, donate=False)
+
+    for _ in range(3):
+        p_d, s_d, out_d = step_d(p_d, s_d, batch)
+        p_f, s_f, out_f = step_f(p_f, s_f, batch)
+        np.testing.assert_allclose(
+            float(out_d["loss"]), float(out_f["loss"]), rtol=1e-5
+        )
+    np.testing.assert_allclose(
+        np.asarray(p_d["entity_embedding"]),
+        np.asarray(p_f["entity_embedding"]),
+        rtol=1e-5, atol=1e-6,
+    )
