@@ -194,3 +194,72 @@ def test_training_single_device_path():
     trainer.fit(n_epochs=10)
     loss1 = float(fwd(trainer.params, batch)["loss"])
     assert loss1 < loss0
+
+
+def test_training_eight_shards():
+    """8-device mesh: forward golden vs unsharded + training convergence."""
+    n_shard = 8
+    ds = _toy_dataset()
+    sharding = Sharding.create(N_ENTITY, n_shard, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    rng = np.random.default_rng(1)
+    table = rng.normal(
+        size=(n_shard, sharding.max_entity_per_shard, 16)
+    ).astype(np.float32)
+    rel = rng.normal(size=(N_RELATION, 16)).astype(np.float32)
+    score_fn = DistMult(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=16,
+        entity_initializer=table,
+        relation_initializer=rel,
+    )
+    ns = RandomShardedNegativeSampler(
+        4, sharding, SEED, "t", local_sampling=False, flat_negative_format=True
+    )
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=16, batches_per_step=1, seed=SEED,
+        return_triple_idx=True,
+    )
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=score_fn,
+        loss_fn=LogSigmoidLoss(margin=2.0, negative_adversarial_sampling=False),
+        return_scores=True,
+    )
+    mesh = make_shard_mesh(n_shard)
+    fwd = build_bess_forward(bess, mesh)
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+    batch = bs.sample_batch(next(bs.epoch_index_blocks(shuffle=False)))
+    res = jax.tree.map(
+        np.asarray, fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    # Positive scores vs unsharded golden.
+    flat = table[sharding.entity_to_shard, sharding.entity_to_idx]
+    orig = ds.triples["train"][pts.triple_sort_idx]
+    trip = orig[batch["triple_idx"][0]]          # (S, S, ppp, 3)
+    mask = batch["triple_mask"][0]
+    g_params = {"relation_embedding": jnp.asarray(rel)}
+    golden = np.asarray(
+        score_fn.score_triple(
+            g_params,
+            jnp.asarray(flat[trip[..., 0].reshape(-1)]),
+            jnp.asarray(trip[..., 1].reshape(-1).astype(np.int32)),
+            jnp.asarray(flat[trip[..., 2].reshape(-1)]),
+        )
+    ).reshape(trip.shape[:-1])
+    pos = res["positive_score"].reshape(golden.shape)
+    np.testing.assert_allclose(pos[mask], golden[mask], rtol=1e-4, atol=1e-5)
+
+    # And a few training steps converge.
+    import optax
+
+    from besskge_tpu.optim import RowAdamW
+
+    trainer = Trainer(
+        bess, bs, optax.adam(2e-2), mesh=mesh,
+        entity_optimizer=RowAdamW(learning_rate=2e-2), seed=SEED,
+    )
+    stats = trainer.fit(n_epochs=5)
+    assert stats["steps"] > 0 and np.isfinite(stats["final_loss"])
