@@ -289,3 +289,82 @@ def test_topk_head_queries():
         orig = pts.triple_sort_idx[tidx[mask]]
         np.testing.assert_array_equal(ids[mask], golden_topk[orig])
         break
+
+
+def test_topk_non_divisible_entities_padding_killed():
+    """n_entity not divisible by n_shard: padding rows exist in every shard
+    and must never appear among top-k ids (killed via shard_counts)."""
+    n_ent = 317  # 317 = 4*80 - 3 -> shards carry padding rows
+    pad_sharding = Sharding.create(n_ent, N_SHARD, seed=3)
+    assert (pad_sharding.shard_counts < pad_sharding.max_entity_per_shard).any()
+    local_rng = np.random.default_rng(3)
+    table = local_rng.normal(
+        size=(N_SHARD, pad_sharding.max_entity_per_shard, 2 * EMB)
+    ).astype(np.float32)
+    # Make padding rows maximally attractive: huge values. If the padding
+    # kill is broken, they WILL rank top.
+    pad_rows = pad_sharding.shard_and_idx_to_entity >= n_ent
+    table[pad_rows] = 10.0
+    rel = local_rng.normal(size=(N_RELATION, 2 * EMB)).astype(np.float32)
+    flat = table[pad_sharding.entity_to_shard, pad_sharding.entity_to_idx]
+
+    score_fn = ComplEx(
+        negative_sample_sharing=True,
+        sharding=pad_sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=EMB,
+        entity_initializer=table,
+        relation_initializer=rel,
+    )
+    n_q = 64
+    qh = local_rng.integers(n_ent, size=n_q)
+    qr = local_rng.integers(N_RELATION, size=n_q)
+    gt = local_rng.integers(n_ent, size=n_q)
+    ds_pad = KGDataset(
+        n_entity=n_ent,
+        n_relation_type=N_RELATION,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"test": np.zeros((1, 3), np.int32)},
+        original_triple_ids={"test": np.arange(1)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    pts = PartitionedTripleSet.create_from_queries(
+        ds_pad, pad_sharding, np.stack([qh, qr], 1).astype(np.int32), "hr",
+        ground_truth=gt.astype(np.int32),
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=3)
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=16, batches_per_step=1, seed=3,
+        return_triple_idx=True,
+    )
+    topk = TopKQueryBessKGE(
+        k=K, candidate_sampler=ns, score_fn=score_fn, return_scores=True,
+        window_size=30,
+    )
+    fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    g_params = {"relation_embedding": jnp.asarray(rel)}
+    golden = np.asarray(
+        score_fn.score_tails(
+            g_params,
+            jnp.asarray(flat[qh]),
+            jnp.asarray(qr.astype(np.int32)),
+            jnp.asarray(flat[:n_ent])[None],
+        )
+    )
+    golden_topk = np.argsort(-golden[:, :n_ent], axis=1)[:, :K]
+
+    for block in bs.epoch_index_blocks(shuffle=False):
+        batch = bs.sample_batch(block)
+        out = fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+        ids = np.asarray(out["topk_global_id"]).reshape(-1, K)
+        mask = batch["triple_mask"].reshape(-1)
+        # No padding (>= n_ent) ids ever.
+        assert ids[mask].max() < n_ent
+        orig = pts.triple_sort_idx[batch["triple_idx"].reshape(-1)[mask]]
+        np.testing.assert_array_equal(ids[mask], golden_topk[orig])
+        break
