@@ -27,3 +27,196 @@ def test_l1_distance_matrix_aligned_shapes():
     )
     expected = np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# scatter_rows (in-place row writes, ops/pallas_scatter.py)
+# ---------------------------------------------------------------------------
+
+from besskge_tpu.ops.pallas_adamw import dense_adamw_update  # noqa: E402
+from besskge_tpu.ops.pallas_scatter import scatter_rows  # noqa: E402
+
+
+def _scatter_expected(table, idx, rows):
+    out = table.copy()
+    out[idx] = rows.astype(table.dtype)
+    return out
+
+
+def test_scatter_rows_basic():
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(64, 128)).astype(np.float32)
+    idx = np.array([3, 17, 0, 63, 40, 41, 42, 43], dtype=np.int32)
+    rows = rng.normal(size=(8, 128)).astype(np.float32)
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
+
+
+def test_scatter_rows_padding_remainder():
+    # R=5 is not a multiple of the DMA-unroll factor: the kernel pads with a
+    # repeat of the last (idx, row) pair, which must be idempotent.
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(32, 256)).astype(np.float32)
+    idx = np.array([1, 30, 7, 7, 12], dtype=np.int32)
+    rows = rng.normal(size=(5, 256)).astype(np.float32)
+    rows[2] = rows[3]  # duplicates carry identical content by contract
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
+
+
+def test_scatter_rows_duplicate_indices_identical_rows():
+    rng = np.random.default_rng(4)
+    table = rng.normal(size=(16, 128)).astype(np.float32)
+    idx = np.array([5, 5, 5, 5, 9, 9, 2, 2], dtype=np.int32)
+    rows = np.empty((8, 128), dtype=np.float32)
+    for k, i in enumerate(idx):
+        rows[k] = float(i) + np.arange(128, dtype=np.float32)
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
+
+
+def test_scatter_rows_3d_block_form():
+    # The mesh path passes the per-device (1, n_rows, D) block unreshaped so
+    # XLA alias analysis survives; the kernel indexes out_ref.at[0, row].
+    rng = np.random.default_rng(5)
+    table = rng.normal(size=(1, 48, 128)).astype(np.float32)
+    idx = np.array([0, 47, 13, 21], dtype=np.int32)
+    rows = rng.normal(size=(4, 128)).astype(np.float32)
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    expected = table.copy()
+    expected[0, idx] = rows
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_scatter_rows_dtype_cast():
+    rng = np.random.default_rng(6)
+    table = rng.normal(size=(24, 128)).astype(np.float32)
+    idx = np.array([2, 3, 4, 5], dtype=np.int32)
+    rows = rng.normal(size=(4, 128)).astype(np.float64)  # cast to table dtype
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
+
+
+def test_scatter_rows_many_rows_pipeline_depth():
+    # More rows than the DMA pipeline depth (_W=16) exercises semaphore reuse
+    # and the drain loop.
+    rng = np.random.default_rng(7)
+    table = rng.normal(size=(128, 128)).astype(np.float32)
+    idx = rng.permutation(128)[:60].astype(np.int32)
+    rows = rng.normal(size=(60, 128)).astype(np.float32)
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True)
+    )
+    np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
+
+
+# ---------------------------------------------------------------------------
+# dense_adamw_update (fused in-place AdamW, ops/pallas_adamw.py)
+# ---------------------------------------------------------------------------
+
+
+def _adamw_expected(p, mu, nu, g, t, lr, b1, b2, eps, wd):
+    g32 = g.astype(np.float32)
+    p32 = p.astype(np.float32)
+    mu = b1 * mu + (1 - b1) * g32
+    nu = b2 * nu + (1 - b2) * g32 * g32
+    mu_hat = mu / (1 - b1**t)
+    nu_hat = nu / (1 - b2**t)
+    upd = lr * (mu_hat / (np.sqrt(nu_hat) + eps) + wd * p32)
+    return (p32 - upd).astype(p.dtype), mu, nu
+
+
+def _run_adamw(p, mu, nu, g, t, **kw):
+    out = dense_adamw_update(
+        jnp.asarray(p), jnp.asarray(mu), jnp.asarray(nu), jnp.asarray(g),
+        jnp.asarray(t, dtype=jnp.int32), interpret=True, **kw
+    )
+    return [np.asarray(x) for x in out]
+
+
+def test_dense_adamw_matches_formula():
+    rng = np.random.default_rng(8)
+    m, d = 512, 128  # exactly one tile
+    p = rng.normal(size=(m, d)).astype(np.float32)
+    mu = rng.normal(size=(m, d)).astype(np.float32) * 0.1
+    nu = (rng.normal(size=(m, d)).astype(np.float32) * 0.1) ** 2
+    g = rng.normal(size=(m, d)).astype(np.float32)
+    kw = dict(lr=1e-2, b1=0.9, b2=0.999, eps=1e-8, wd=0.01)
+    got_p, got_mu, got_nu = _run_adamw(p, mu, nu, g, t=3, **kw)
+    exp_p, exp_mu, exp_nu = _adamw_expected(p, mu, nu, g, 3, **kw)
+    np.testing.assert_allclose(got_mu, exp_mu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_nu, exp_nu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_p, exp_p, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_adamw_ragged_final_tile():
+    # m=700 -> grid of 2 tiles of 512, final tile ragged (188 rows): the
+    # masked writes must not corrupt rows beyond the table.
+    rng = np.random.default_rng(9)
+    m, d = 700, 128
+    p = rng.normal(size=(m, d)).astype(np.float32)
+    mu = np.zeros((m, d), np.float32)
+    nu = np.zeros((m, d), np.float32)
+    g = rng.normal(size=(m, d)).astype(np.float32)
+    kw = dict(lr=5e-3, b1=0.9, b2=0.999, eps=1e-8, wd=0.0)
+    got_p, got_mu, got_nu = _run_adamw(p, mu, nu, g, t=1, **kw)
+    exp_p, exp_mu, exp_nu = _adamw_expected(p, mu, nu, g, 1, **kw)
+    np.testing.assert_allclose(got_mu, exp_mu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_nu, exp_nu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got_p, exp_p, rtol=1e-5, atol=1e-6)
+
+
+def test_dense_adamw_bf16_param():
+    rng = np.random.default_rng(10)
+    m, d = 512, 128
+    p = rng.normal(size=(m, d)).astype(jnp.bfloat16)
+    mu = np.zeros((m, d), np.float32)
+    nu = np.zeros((m, d), np.float32)
+    g = rng.normal(size=(m, d)).astype(np.float32)
+    kw = dict(lr=1e-2, b1=0.9, b2=0.999, eps=1e-8, wd=0.0)
+    out = dense_adamw_update(
+        jnp.asarray(p), jnp.asarray(mu), jnp.asarray(nu), jnp.asarray(g),
+        jnp.asarray(2, dtype=jnp.int32), interpret=True, **kw
+    )
+    assert out[0].dtype == jnp.bfloat16
+    exp_p, exp_mu, _ = _adamw_expected(
+        np.asarray(p, dtype=np.float32), mu, nu, g, 2, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0], dtype=np.float32), exp_p, rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), exp_mu, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_adamw_multi_step_trajectory():
+    # Three consecutive kernel steps track the numpy trajectory.
+    rng = np.random.default_rng(11)
+    m, d = 600, 128  # ragged
+    p = rng.normal(size=(m, d)).astype(np.float32)
+    mu = np.zeros((m, d), np.float32)
+    nu = np.zeros((m, d), np.float32)
+    kw = dict(lr=1e-2, b1=0.9, b2=0.999, eps=1e-8, wd=0.004)
+    pe, me, ne = p.copy(), mu.copy(), nu.copy()
+    for t in range(1, 4):
+        g = rng.normal(size=(m, d)).astype(np.float32)
+        p, mu, nu = _run_adamw(p, mu, nu, g, t=t, **kw)
+        pe, me, ne = _adamw_expected(pe, me, ne, g, t, **kw)
+    np.testing.assert_allclose(p, pe, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mu, me, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(nu, ne, rtol=1e-5, atol=1e-6)
