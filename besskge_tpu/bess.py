@@ -424,6 +424,18 @@ class ScoreMovingBessKGE(BessKGE):
 
     Cheaper than embedding-moving when negatives are many or rows wide
     (scores are smaller than embeddings). No local sampling / augmentation.
+
+    Positive scores are computed WITHOUT the reference's trailing tail
+    AllToAll (its own ``#TODO: avoidable?``, reference ``bess.py:594-601``):
+    when the corruption scheme AllGathers tail embeddings ("h", and the
+    head-corrupted half of "ht"), this device's own tails are already present
+    in the gathered tensor, so positives are scored locally for free; when it
+    does not ("t", and the tail-corrupted half of "ht"), positives are scored
+    on the tail's home shard — which holds the gathered head embeddings — and
+    ride back to the query device as ONE extra column of the existing score
+    AllToAll. Net: one collective fewer per step, and the extra column
+    (bs × n_shard values) is a factor d/n_shard smaller than the tail-row
+    AllToAll it replaces.
     """
 
     def score_batch(self, params, head, relation, tail, negative, train=False,
@@ -456,6 +468,28 @@ class ScoreMovingBessKGE(BessKGE):
             neg_emb = neg_emb[0:1]
 
         relation_all = self._all_gather(relation)  # (S_q, S, ppp)
+        my = (
+            jax.lax.axis_index(self.axis_name)
+            if self.axis_name is not None
+            else jnp.asarray(0, jnp.int32)
+        )
+
+        # Positive scores, without a dedicated collective (see class docs):
+        # pos_local — scored on this (query) device from the AllGathered
+        # tails; pos_col — (S_dest, bs, 1) column of home-shard-scored
+        # positives that rides the score AllToAll.
+        pos_local = None
+        pos_col = None
+
+        def _home_pos_column(pos_home, col_offset, col_width):
+            """Pack home-shard positive scores (S_dest, col_width) into the
+            (S_dest, bs, 1) ride-along column at this device's block."""
+            col = jnp.zeros((n_shard, bs, 1), pos_home.dtype)
+            return jax.lax.dynamic_update_slice(
+                col,
+                pos_home.reshape(n_shard, col_width, 1),
+                (0, my * ppp + col_offset, 0),
+            )
 
         if scheme == "h":
             # Tails are host-pre-transposed; gathered axis is the tail's home
@@ -469,8 +503,20 @@ class ScoreMovingBessKGE(BessKGE):
                 train=train,
                 rng=rng,
             )
+            # This device's own tails sit at row `my` of the gathered tensor.
+            my_tails = jax.lax.dynamic_index_in_dim(
+                tail_all, my, 0, keepdims=False
+            )  # (S_home, ppp, d)
+            pos_local = self.score_fn.score_triple(
+                params,
+                head_emb.reshape(bs, d),
+                relation.reshape(bs),
+                my_tails.reshape(bs, d),
+                train=train,
+                rng=rng,
+            )
         elif scheme == "t":
-            head_all = self._all_gather(head_emb)
+            head_all = self._all_gather(head_emb)  # (S_q, S_home, ppp, d)
             negative_score = self.score_fn.score_tails(
                 params,
                 head_all.reshape(-1, d),
@@ -479,14 +525,31 @@ class ScoreMovingBessKGE(BessKGE):
                 train=train,
                 rng=rng,
             )
+            # Tails of every query device's block `my` live here; their heads
+            # and relations arrived with the AllGathers used above.
+            heads_here = jax.lax.dynamic_index_in_dim(
+                head_all, my, 1, keepdims=False
+            )  # (S_q, ppp, d)
+            rel_here = jax.lax.dynamic_index_in_dim(
+                relation_all, my, 1, keepdims=False
+            )  # (S_q, ppp)
+            pos_home = self.score_fn.score_triple(
+                params,
+                heads_here.reshape(bs, d),
+                rel_here.reshape(bs),
+                tail_emb.reshape(bs, d),
+                train=train,
+                rng=rng,
+            )
+            pos_col = _home_pos_column(pos_home.reshape(n_shard, ppp), 0, ppp)
         elif scheme == "ht":
             cut = ppp // 2
             rel1 = relation_all[:, :, :cut].reshape(-1)
             rel2 = relation_all[:, :, cut:].reshape(-1)
             tail_all = jnp.swapaxes(
                 self._all_gather(tail_emb[:, :cut]), 0, 1
-            )
-            head_all = self._all_gather(head_emb[:, cut:])
+            )  # (S_q, S_home, cut, d)
+            head_all = self._all_gather(head_emb[:, cut:])  # (S_q, S_home, ., d)
             if flat:
                 neg_h = neg_emb[:, 0]
                 neg_t = neg_emb[:, 1]
@@ -507,25 +570,68 @@ class ScoreMovingBessKGE(BessKGE):
                 ],
                 axis=2,
             ).reshape(n_shard * bs, -1)
+            # Head-corrupted half: own tails are in the gathered tensor.
+            my_tails = jax.lax.dynamic_index_in_dim(
+                tail_all, my, 0, keepdims=False
+            )  # (S_home, cut, d)
+            pos_local = self.score_fn.score_triple(
+                params,
+                head_emb[:, :cut].reshape(-1, d),
+                relation[:, :cut].reshape(-1),
+                my_tails.reshape(-1, d),
+                train=train,
+                rng=rng,
+            ).reshape(n_shard, cut)
+            # Tail-corrupted half: scored here (tails' home), shipped back.
+            heads_here = jax.lax.dynamic_index_in_dim(
+                head_all, my, 1, keepdims=False
+            )  # (S_q, ppp - cut, d)
+            rel_here = jax.lax.dynamic_index_in_dim(
+                relation_all, my, 1, keepdims=False
+            )[:, cut:]
+            pos_home = self.score_fn.score_triple(
+                params,
+                heads_here.reshape(-1, d),
+                rel_here.reshape(-1),
+                tail_emb[:, cut:].reshape(-1, d),
+                train=train,
+                rng=rng,
+            )
+            pos_col = _home_pos_column(
+                pos_home.reshape(n_shard, ppp - cut), cut, ppp - cut
+            )
         else:
             raise ValueError(f"Unsupported corruption scheme {scheme}")
 
-        # Return scores to the query's device (source-shard-major columns).
-        negative_score = self._all_to_all(
-            negative_score.reshape(n_shard, bs, -1)
-        )
-        negative_score = jnp.swapaxes(negative_score, 0, 1).reshape(bs, -1)
+        # Return scores to the query's device (source-shard-major columns),
+        # with the home-scored positives as a trailing ride-along column.
+        negative_score = negative_score.reshape(n_shard, bs, -1)
+        if pos_col is not None:
+            negative_score = jnp.concatenate(
+                [negative_score, pos_col.astype(negative_score.dtype)], axis=2
+            )
+        negative_score = self._all_to_all(negative_score)
+        negative_score = jnp.swapaxes(negative_score, 0, 1)  # (bs, S_src, .)
+        if pos_col is not None:
+            # Each row's column is zero except at its tail's home shard.
+            pos_recv = negative_score[..., -1].sum(axis=1)  # (bs,)
+            negative_score = negative_score[..., :-1]
+        negative_score = negative_score.reshape(bs, -1)
 
-        # Recover micro-batch tail embeddings for the positive scores.
-        tail_emb = self._all_to_all(tail_emb)
-        positive_score = self.score_fn.score_triple(
-            params,
-            head_emb.reshape(bs, d),
-            relation.reshape(bs),
-            tail_emb.reshape(bs, d),
-            train=train,
-            rng=rng,
-        )
+        if scheme == "h":
+            positive_score = pos_local
+        elif scheme == "t":
+            positive_score = pos_recv
+        else:  # "ht": local head-half + received tail-half
+            positive_score = jnp.concatenate(
+                [
+                    pos_local,
+                    pos_recv.reshape(n_shard, ppp)[:, cut:].astype(
+                        pos_local.dtype
+                    ),
+                ],
+                axis=1,
+            ).reshape(bs)
         return positive_score, negative_score
 
 

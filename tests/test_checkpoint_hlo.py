@@ -197,3 +197,49 @@ def test_collective_counts_embedding_moving_step():
     )
     assert counts["all-to-all"] == 2, counts  # forward + backward transpose
     assert counts["all-gather"] == 0, counts
+
+
+def test_collective_counts_score_moving_forward():
+    """ScoreMoving redesign promise: the positive scores ride the existing
+    score AllToAll (reference's `#TODO: avoidable?` extra tail AllToAll,
+    ref bess.py:594-601, is GONE) — exactly ONE all-to-all in the inference
+    forward, with the AllGathers the scheme requires ("ht": relation + tail
+    half + head half = 3)."""
+    from besskge_tpu.bess import ScoreMovingBessKGE, build_bess_forward
+
+    _, _, sf, sharding = _setup()
+    rng = np.random.default_rng(3)
+    trip = np.stack(
+        [
+            rng.integers(N_ENTITY, size=900),
+            rng.integers(3, size=900),
+            rng.integers(N_ENTITY, size=900),
+        ],
+        1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=3,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"train": trip},
+        original_triple_ids={"train": np.arange(900)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    ns = RandomShardedNegativeSampler(
+        4, sharding, 1, "ht", local_sampling=False, flat_negative_format=True
+    )
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    bs = RandomShardedBatchSampler(pts, ns, shard_bs=16, batches_per_step=1, seed=1)
+    bess = ScoreMovingBessKGE(
+        negative_sampler=ns, score_fn=sf, return_scores=True
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    fwd = build_bess_forward(bess, mesh)
+    params = {k: jnp.asarray(v) for k, v in sf.initial_params().items()}
+    batch = {k: jnp.asarray(v) for k, v in bs.sample_batch([0]).items()}
+    counts = collective_summary(lambda p, b: fwd(p, b), params, batch)
+    assert counts["all-to-all"] == 1, counts
+    assert counts["all-gather"] == 3, counts
