@@ -125,9 +125,6 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
             g_gathered, g_other = vjp(jnp.ones((), jnp.float32))
             return out, idx.reshape(-1), g_gathered, g_other
 
-        # No lax.scan here: threading the table through a while loop defeats
-        # XLA's alias analysis for the in-place Pallas row updates below
-        # (observed as full-table copies per step).
         if bess.axis_name is None:
             # Single device (no collectives): fuse micro-batches with vmap.
             outs, idxs, g_rows, g_other_all = jax.vmap(mb_fn)(mbs, rngs)
@@ -135,19 +132,21 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
                 lambda z, x: z + jnp.sum(x, axis=0), zero_other, g_other_all
             )
         else:
-            # Mesh path: collectives in the body — unrolled python loop.
-            acc_other = zero_other
-            outs_l, idxs_l, g_rows_l = [], [], []
-            for i in range(bps):
-                mb_i = {k: v[i] for k, v in mbs.items()}
-                out_i, idx_i, g_i, g_o = mb_fn(mb_i, rngs[i])
-                acc_other = jax.tree.map(jnp.add, acc_other, g_o)
-                outs_l.append(out_i)
-                idxs_l.append(idx_i)
-                g_rows_l.append(g_i)
-            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs_l)
-            idxs = jnp.stack(idxs_l)
-            g_rows = jnp.stack(g_rows_l)
+            # Mesh path (collectives in the body, so no vmap): lax.scan over
+            # micro-batches, accumulating (idx, grad-row) buffers; HLO size
+            # and compile time stay flat in bps. The table is a CAPTURED
+            # constant of the loop — only read inside it — and the in-place
+            # Pallas row update below runs ONCE after the scan, so the
+            # donated buffer still aliases straight through (threading the
+            # table through the carry is what defeats XLA's alias analysis).
+            def scan_body(acc, xs):
+                mb_i, rng_i = xs
+                out_i, idx_i, g_i, g_o = mb_fn(mb_i, rng_i)
+                return jax.tree.map(jnp.add, acc, g_o), (out_i, idx_i, g_i)
+
+            acc_other, (outs, idxs, g_rows) = jax.lax.scan(
+                scan_body, zero_other, (mbs, rngs)
+            )
         # Sparse entity update over all micro-batches' touched rows; the
         # 2-D table block goes in unreshaped so the donated buffer aliases
         # straight through to the in-place Pallas writes.
@@ -334,12 +333,24 @@ class Trainer:
         shuffle: bool = True,
         log_every: int = 0,
         callback: Optional[Callable[[int, Dict[str, Any]], None]] = None,
+        valid_fn: Optional[Callable[[Params], Dict[str, float]]] = None,
+        valid_every: int = 1,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_metric: str = "mrr",
     ) -> Dict[str, Any]:
         """Run ``n_epochs`` over the sampler; returns summary stats.
 
         The numpy batch assembly runs in a background thread
         (:meth:`ShardedBatchSampler.get_dataloader`), overlapping device
         execution — the TPU analog of poptorch's async dataloader.
+
+        :param valid_fn: optional in-loop validation hook
+            ``fn(params) -> {metric: value}``, called every ``valid_every``
+            epochs; results land in :attr:`history` as
+            ``{"epoch", "valid": {...}}`` records.
+        :param checkpoint_path: with ``valid_fn``, save a checkpoint here
+            whenever ``checkpoint_metric`` improves (best-model tracking);
+            without ``valid_fn``, save once after the last epoch.
         """
         step = 0
         triples_per_step = (
@@ -347,7 +358,8 @@ class Trainer:
             * self.batch_sampler.n_shard
             * self.batch_sampler.shard_bs
         )
-        last_loss = float("nan")
+        out: Optional[Dict[str, Any]] = None
+        best_metric = -float("inf")
         t0 = time.perf_counter()
         for epoch in range(n_epochs):
             for batch in self.batch_sampler.get_dataloader(
@@ -365,21 +377,48 @@ class Trainer:
                     )
                 step += 1
                 if log_every and step % log_every == 0:
-                    last_loss = float(out["loss"])
-                    rec = {"step": step, "epoch": epoch, "loss": last_loss}
+                    rec = {
+                        "step": step,
+                        "epoch": epoch,
+                        "loss": float(out["loss"]),
+                    }
                     self.history.append(rec)
                     if callback:
                         callback(step, rec)
-        if "out" in dir():
-            last_loss = float(out["loss"])
+            if valid_fn is not None and (epoch + 1) % valid_every == 0:
+                metrics = valid_fn(self.params)
+                self.history.append({"epoch": epoch, "valid": dict(metrics)})
+                if checkpoint_path is not None:
+                    val = float(metrics[checkpoint_metric])
+                    if val > best_metric:
+                        best_metric = val
+                        self.save(checkpoint_path, step=step)
+        if valid_fn is None and checkpoint_path is not None:
+            self.save(checkpoint_path, step=step)
+        last_loss = float(out["loss"]) if out is not None else float("nan")
         elapsed = time.perf_counter() - t0
-        return {
+        summary = {
             "steps": step,
             "epochs": n_epochs,
             "final_loss": last_loss,
             "wall_time_s": elapsed,
             "triples_per_s": step * triples_per_step / max(elapsed, 1e-9),
         }
+        if best_metric > -float("inf"):
+            summary[f"best_{checkpoint_metric}"] = best_metric
+        return summary
+
+    def save(self, path: str, step: int = 0) -> None:
+        """Checkpoint current params + optimizer state (+ sharding meta)."""
+        from besskge_tpu.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            {k: np.asarray(v) for k, v in self.params.items()},
+            opt_state=self.opt_state,
+            sharding=self.bess.sharding,
+            step=step,
+        )
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         if self.mesh is None:

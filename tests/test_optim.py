@@ -63,7 +63,7 @@ def _setup(dtype=np.float32, emb=16):
         8, sharding, SEED, "t", local_sampling=False, flat_negative_format=True
     )
     bs = RandomShardedBatchSampler(
-        pts, ns, shard_bs=16, batches_per_step=2, seed=SEED
+        pts, ns, shard_bs=16, batches_per_step=4, seed=SEED
     )
     bess = EmbeddingMovingBessKGE(
         negative_sampler=ns,
@@ -300,3 +300,30 @@ def test_fused_dense_adamw_matches_optax():
         np.asarray(p_f["entity_embedding"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sparse_mesh_step_hlo_flat_in_bps():
+    """The sparse mesh path scans micro-batches: the compiled program must
+    not grow with batches_per_step (round-1 unrolled it, HLO ~ O(bps))."""
+    import jax
+
+    def hlo_len(bps):
+        bess, bs, score_fn, sharding = _setup()
+        bs.batches_per_step = bps
+        mesh = make_shard_mesh(N_SHARD)
+        params = shard_params(
+            {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()},
+            mesh,
+        )
+        row_opt = RowSGDM(learning_rate=0.5, momentum=0.9)
+        opt = optax.sgd(0.5)
+        state = init_optimizer_state(opt, params, mesh, row_opt)
+        step = build_train_step(bess, opt, mesh, row_opt, donate=False)
+        batch = shard_batch(bs.sample_batch([0]), mesh)
+        lowered = jax.jit(lambda p, s, b: step(p, s, b)).lower(
+            params, state, batch
+        )
+        return len(lowered.compile().as_text())
+
+    small, large = hlo_len(2), hlo_len(16)
+    assert large < 1.5 * small, (small, large)

@@ -263,3 +263,34 @@ def test_training_eight_shards():
     )
     stats = trainer.fit(n_epochs=5)
     assert stats["steps"] > 0 and np.isfinite(stats["final_loss"])
+
+
+def test_fit_valid_hook_and_best_checkpoint(tmp_path):
+    """In-loop validation hook runs every `valid_every` epochs; the best
+    checkpoint (by the monitored metric) is written and loadable."""
+    from besskge_tpu.checkpoint import load_checkpoint
+
+    trainer, bess, bs = _build_training(1, None, axis_name=None, emb=16)
+    calls = []
+
+    def valid_fn(params):
+        calls.append(1)
+        return {"mrr": float(len(calls))}  # strictly improving
+
+    ckpt = tmp_path / "best.npz"
+    stats = trainer.fit(
+        n_epochs=4,
+        valid_fn=valid_fn,
+        valid_every=2,
+        checkpoint_path=str(ckpt),
+        checkpoint_metric="mrr",
+    )
+    assert len(calls) == 2
+    assert stats["best_mrr"] == 2.0
+    assert np.isfinite(stats["final_loss"])
+    valid_recs = [h for h in trainer.history if "valid" in h]
+    assert [r["valid"]["mrr"] for r in valid_recs] == [1.0, 2.0]
+    params, _, sh, meta = load_checkpoint(str(ckpt))
+    assert params["entity_embedding"].shape == np.asarray(
+        trainer.params["entity_embedding"]
+    ).shape
