@@ -62,6 +62,29 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
     return fix(tree)
 
 
+
+def _restore_like(template: Any, flat: Dict[str, np.ndarray], prefix: str = "") -> Any:
+    """Rebuild ``template``'s exact pytree (dict / tuple / NamedTuple /
+    None structure, e.g. an optax chain state) with leaves taken from the
+    flat key->array mapping. Zero-leaf nodes (optax ``EmptyState``) survive."""
+    if isinstance(template, dict):
+        return {
+            k: _restore_like(v, flat, f"{prefix}{k}{_SEP}")
+            for k, v in template.items()
+        }
+    if isinstance(template, (list, tuple)):
+        vals = [
+            _restore_like(v, flat, f"{prefix}#{i}{_SEP}")
+            for i, v in enumerate(template)
+        ]
+        if hasattr(template, "_fields"):  # NamedTuple
+            return type(template)(*vals)
+        return type(template)(vals)
+    if template is None:
+        return None
+    return flat[prefix.rstrip(_SEP)]
+
+
 def save_checkpoint(
     path: Path,
     params: Dict[str, Any],
@@ -110,8 +133,15 @@ def save_checkpoint(
 def load_checkpoint(
     path: Path,
     new_sharding: Optional[Sharding] = None,
+    like: Any = None,
 ) -> Tuple[Dict[str, Any], Any, Optional[Sharding], Dict[str, Any]]:
     """Load a checkpoint; optionally re-shard onto ``new_sharding``.
+
+    ``like`` optionally supplies an optimizer-state TEMPLATE (e.g. from
+    :func:`~besskge_tpu.trainer.init_optimizer_state`): the restored state
+    then reproduces its exact pytree — NamedTuple classes, optax
+    ``EmptyState`` nodes — so it can be fed straight back into
+    ``optimizer.update``.
 
     Re-sharding permutes the entity table AND any optimizer-state arrays of
     the same (table) shape through the global-ID maps, so training resumes
@@ -130,7 +160,10 @@ def load_checkpoint(
         groups.setdefault(top, {})[rest] = val
 
     params = _unflatten(groups.get("params", {}))
-    opt_state = _unflatten(groups["opt"]) if "opt" in groups else None
+    if like is not None:
+        opt_state = _restore_like(like, groups.get("opt", {}))
+    else:
+        opt_state = _unflatten(groups["opt"]) if "opt" in groups else None
 
     sharding = None
     if "sharding" in groups:
@@ -183,3 +216,223 @@ def load_checkpoint(
         sharding = new_sharding
 
     return params, opt_state, sharding, meta
+
+
+# ---------------------------------------------------------------------------
+# Sharded (per-process, per-shard-file) checkpoint IO
+# ---------------------------------------------------------------------------
+
+__all__ += ["save_checkpoint_sharded", "load_checkpoint_sharded"]
+
+
+def _flatten_lazy(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    """Like :func:`_flatten` but keeps leaves as-is (no host conversion)."""
+    out: Dict[str, Any] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_lazy(v, f"{prefix}{k}{_SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten_lazy(v, f"{prefix}#{i}{_SEP}"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix.rstrip(_SEP)] = tree
+    return out
+
+
+def _owned_table_blocks(leaf: Any, rows_per_shard: int) -> Dict[int, np.ndarray]:
+    """Split a table-shaped leaf into the {shard_index: (M, row) block}s this
+    PROCESS holds, fetching only addressable device shards (never the global
+    array) when the leaf is a sharded ``jax.Array``."""
+    blocks: Dict[int, np.ndarray] = {}
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards:
+        for sh in shards:
+            if sh.replica_id != 0:
+                continue
+            start = sh.index[0].start or 0
+            data = np.asarray(sh.data)
+            for k in range(data.shape[0] // rows_per_shard):
+                s = start // rows_per_shard + k
+                blocks[s] = data[k * rows_per_shard : (k + 1) * rows_per_shard]
+    else:
+        arr = np.asarray(leaf)
+        for s in range(arr.shape[0] // rows_per_shard):
+            blocks[s] = arr[s * rows_per_shard : (s + 1) * rows_per_shard]
+    return blocks
+
+
+def save_checkpoint_sharded(
+    path: Path,
+    params: Dict[str, Any],
+    opt_state: Any = None,
+    sharding: Optional[Sharding] = None,
+    step: int = 0,
+    extra_meta: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a DIRECTORY checkpoint: one ``shard_{s}.npz`` per table shard,
+    written by the process that owns it — the global entity table (and its
+    table-shaped optimizer moments, ~3x its size under Adam) is NEVER
+    materialized on any host. Small/replicated leaves go to
+    ``replicated.npz`` (process 0 only).
+
+    Works with sharded ``jax.Array`` params on single- or multi-host meshes
+    (each process writes only its ``local_shard_range``), and with plain
+    numpy params (everything written by the calling process).
+
+    The reference has no sharded-checkpoint analog — its tables re-enter
+    training via host-side ``entity_initializer`` tensors; at the multi-GB
+    scale this framework targets, funnelling table + moments through one
+    host is the wall this path removes.
+    """
+    if sharding is None:
+        raise ValueError("save_checkpoint_sharded requires the Sharding")
+    import jax
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    table_shape = tuple(params["entity_embedding"].shape)
+    rows_per_shard = table_shape[0] // sharding.n_shard
+
+    flat: Dict[str, Any] = {
+        f"params{_SEP}{k}": v for k, v in _flatten_lazy(params).items()
+    }
+    if opt_state is not None:
+        flat.update(
+            {f"opt{_SEP}{k}": v for k, v in _flatten_lazy(opt_state).items()}
+        )
+    table_keys = [
+        k for k, v in flat.items() if tuple(v.shape) == table_shape
+    ]
+
+    per_shard: Dict[int, Dict[str, np.ndarray]] = {}
+    for key in table_keys:
+        for s, block in _owned_table_blocks(
+            flat[key], rows_per_shard
+        ).items():
+            per_shard.setdefault(s, {})[key] = block
+    for s, arrays in per_shard.items():
+        np.savez(path / f"shard_{s:05d}.npz", **arrays)
+
+    if jax.process_index() == 0:
+        repl = {
+            k: np.asarray(v) for k, v in flat.items() if k not in table_keys
+        }
+        np.savez(path / "replicated.npz", **repl)
+        sharding.save(path / "sharding.npz")
+        meta = {
+            "step": step,
+            "table_keys": table_keys,
+            "table_shape": list(table_shape),
+            "n_shard": sharding.n_shard,
+            **(extra_meta or {}),
+        }
+        (path / "meta.json").write_text(json.dumps(meta))
+
+
+def load_checkpoint_sharded(
+    path: Path,
+    mesh: Any = None,
+    new_sharding: Optional[Sharding] = None,
+    like: Any = None,
+) -> Tuple[Dict[str, Any], Any, Optional[Sharding], Dict[str, Any]]:
+    """Load a :func:`save_checkpoint_sharded` directory.
+
+    With ``mesh``, every table-shaped leaf is assembled directly on the
+    devices via ``jax.make_array_from_callback`` — each process reads only
+    the shard files backing ITS devices; replicated leaves are device_put
+    replicated. Without a mesh, tables are concatenated on the host (only
+    sensible for small tables / tests).
+
+    ``like`` optionally supplies an optimizer-state template (see
+    :func:`load_checkpoint`) so the restored state drops straight back into
+    ``optimizer.update``.
+
+    With ``new_sharding``, blocks for the new topology are STREAMED: each new
+    shard's rows are gathered from just the old shard files that contain
+    them (padding rows restore to zero), so resharding also never builds the
+    global table.
+
+    :return: ``(params, opt_state, sharding, meta)``.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    table_keys = list(meta["table_keys"])
+    old_sharding = Sharding.load(path / "sharding.npz")
+    n_entity = old_sharding.n_entity
+    rows_old = meta["table_shape"][0] // meta["n_shard"]
+
+    shard_cache: Dict[int, Any] = {}
+
+    def old_block(s: int, key: str) -> np.ndarray:
+        if s not in shard_cache:
+            shard_cache[s] = np.load(
+                path / f"shard_{s:05d}.npz", allow_pickle=False
+            )
+        return shard_cache[s][key]
+
+    eff_sharding = new_sharding if new_sharding is not None else old_sharding
+    rows_new = eff_sharding.max_entity_per_shard
+
+    def block(s: int, key: str) -> np.ndarray:
+        if new_sharding is None:
+            return old_block(s, key)
+        ids = new_sharding.shard_and_idx_to_entity[s]
+        valid = np.nonzero(ids < n_entity)[0]
+        real = ids[valid]
+        src_shard = old_sharding.entity_to_shard[real]
+        src_idx = old_sharding.entity_to_idx[real]
+        probe = old_block(int(src_shard[0]) if len(src_shard) else 0, key)
+        out = np.zeros((rows_new,) + probe.shape[1:], probe.dtype)
+        for s_old in np.unique(src_shard):
+            m = src_shard == s_old
+            out[valid[m]] = old_block(int(s_old), key)[src_idx[m]]
+        return out
+
+    with np.load(path / "replicated.npz", allow_pickle=False) as data:
+        flat: Dict[str, Any] = {k: data[k] for k in data.files}
+
+    n_shard_eff = eff_sharding.n_shard
+    global_shape_rows = n_shard_eff * rows_new
+
+    for key in table_keys:
+        probe = block(0, key)
+        gshape = (global_shape_rows,) + probe.shape[1:]
+        if mesh is None:
+            flat[key] = np.concatenate(
+                [probe] + [block(s, key) for s in range(1, n_shard_eff)]
+            )
+        else:
+            ns = NamedSharding(mesh, P("shard"))
+
+            def cb(index, key=key):
+                lo = index[0].start or 0
+                hi = index[0].stop or gshape[0]
+                parts = [
+                    block(s, key)
+                    for s in range(lo // rows_new, -(-hi // rows_new))
+                ]
+                return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+            flat[key] = jax.make_array_from_callback(gshape, ns, cb)
+
+    if mesh is not None:
+        repl_sharding = NamedSharding(mesh, P())
+        for k in list(flat.keys()):
+            if k not in table_keys:
+                flat[k] = jax.device_put(flat[k], repl_sharding)
+
+    groups: Dict[str, Dict[str, Any]] = {}
+    for key, val in flat.items():
+        top, rest = key.split(_SEP, 1)
+        groups.setdefault(top, {})[rest] = val
+    params = _unflatten(groups.get("params", {}))
+    if like is not None:
+        opt_state = _restore_like(like, groups.get("opt", {}))
+    else:
+        opt_state = _unflatten(groups["opt"]) if "opt" in groups else None
+    return params, opt_state, eff_sharding, meta

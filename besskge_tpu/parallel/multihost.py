@@ -33,6 +33,7 @@ __all__ = [
     "make_global_mesh",
     "local_shard_range",
     "shard_batch_multihost",
+    "shard_params_multihost",
 ]
 
 
@@ -103,3 +104,31 @@ def shard_batch_multihost(
             NamedSharding(mesh, P(None, AXIS)), v, global_shape
         )
     return out
+
+
+def shard_params_multihost(
+    params: Dict[str, np.ndarray], mesh: Mesh
+) -> Dict[str, jax.Array]:
+    """Place a (host-replicated) params pytree on a multi-process mesh.
+
+    Every process passes the SAME full numpy pytree (cheap: tables at
+    multi-host scale should instead restore from a sharded checkpoint or
+    init on device); the entity table is split on its leading axis via
+    ``make_array_from_callback`` — each process only touches the slices its
+    devices need — and everything else is replicated.
+    """
+    from besskge_tpu.parallel.mesh import param_partition_specs
+
+    specs = param_partition_specs(params)
+
+    def place(x, spec):
+        x = np.asarray(x)
+        ns = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, ns, lambda idx: x[idx])
+
+    return jax.tree.map(
+        place,
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, (np.ndarray, jax.Array)),
+    )

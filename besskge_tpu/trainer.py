@@ -408,8 +408,25 @@ class Trainer:
             summary[f"best_{checkpoint_metric}"] = best_metric
         return summary
 
-    def save(self, path: str, step: int = 0) -> None:
-        """Checkpoint current params + optimizer state (+ sharding meta)."""
+    def save(self, path: str, step: int = 0, sharded: bool = False) -> None:
+        """Checkpoint current params + optimizer state (+ sharding meta).
+
+        With ``sharded=True``, write the directory format
+        (:func:`~besskge_tpu.checkpoint.save_checkpoint_sharded`): each
+        process writes only its own table shards — use this at large table
+        sizes and on multi-host meshes.
+        """
+        if sharded:
+            from besskge_tpu.checkpoint import save_checkpoint_sharded
+
+            save_checkpoint_sharded(
+                path,
+                self.params,
+                opt_state=self.opt_state,
+                sharding=self.bess.sharding,
+                step=step,
+            )
+            return
         from besskge_tpu.checkpoint import save_checkpoint
 
         save_checkpoint(

@@ -243,3 +243,94 @@ def test_collective_counts_score_moving_forward():
     counts = collective_summary(lambda p, b: fwd(p, b), params, batch)
     assert counts["all-to-all"] == 1, counts
     assert counts["all-gather"] == 3, counts
+
+
+def test_sharded_checkpoint_roundtrip_reshard_8(tmp_path):
+    """Directory checkpoint on an 8-shard mesh: per-shard files only, loaded
+    back onto the mesh via make_array_from_callback, and streaming-resharded
+    to a different topology — no global host table at any point."""
+    import jax
+
+    from besskge_tpu.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    n_shard = 8
+    bess, bs, sf, _ = _setup(n_shard=n_shard)
+    sharding = bess.sharding
+    mesh = make_shard_mesh(n_shard)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in sf.initial_params().items()}, mesh
+    )
+    opt = optax.adam(1e-2)
+    opt_state = init_optimizer_state(opt, params, mesh)
+    step = build_train_step(bess, opt, mesh, donate=False)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+    for _ in range(2):
+        params, opt_state, _out = step(params, opt_state, batch)
+
+    ckpt = tmp_path / "ckpt_dir"
+    save_checkpoint_sharded(
+        ckpt, params, opt_state=opt_state, sharding=sharding, step=2,
+        extra_meta={"model": "TransE"},
+    )
+    files = sorted(p.name for p in ckpt.iterdir())
+    assert [f"shard_{s:05d}.npz" for s in range(n_shard)] == [
+        f for f in files if f.startswith("shard_")
+    ]
+    # Every shard file holds exactly per-shard-sized blocks.
+    with np.load(ckpt / "shard_00003.npz") as z:
+        for k in z.files:
+            assert z[k].shape[0] == sharding.max_entity_per_shard, k
+
+    # Round-trip onto the mesh: table reassembles device-side.
+    p2, o2, s2, meta = load_checkpoint_sharded(ckpt, mesh=mesh, like=opt_state)
+    assert meta["step"] == 2 and meta["model"] == "TransE"
+    np.testing.assert_array_equal(
+        np.asarray(p2["entity_embedding"]),
+        np.asarray(params["entity_embedding"]),
+    )
+    assert isinstance(p2["entity_embedding"], jax.Array)
+    assert p2["entity_embedding"].sharding.spec == (
+        params["entity_embedding"].sharding.spec
+    )
+    # Training resumes bit-identically from the restored state.
+    pa, oa, out_a = step(params, opt_state, batch)
+    pb, ob, out_b = step(p2, o2, batch)
+    np.testing.assert_array_equal(
+        np.asarray(pa["entity_embedding"]), np.asarray(pb["entity_embedding"])
+    )
+
+    # Streaming reshard to 2 shards: per-entity rows identical; a table-shaped
+    # Adam moment followed the same permutation.
+    new_sharding = Sharding.create(N_ENTITY, 2, seed=11)
+    p3, o3, s3, _ = load_checkpoint_sharded(ckpt, new_sharding=new_sharding)
+
+    def unshard(table2, sh):
+        t3 = np.asarray(table2).reshape(sh.n_shard, sh.max_entity_per_shard, -1)
+        return t3[sh.entity_to_shard, sh.entity_to_idx]
+
+    np.testing.assert_allclose(
+        unshard(np.asarray(params["entity_embedding"]), sharding),
+        unshard(p3["entity_embedding"], new_sharding),
+    )
+    table_shape = params["entity_embedding"].shape
+    found = []
+
+    def walk(node, new_node):
+        if isinstance(node, dict):
+            for k in node:
+                walk(node[k], new_node[k])
+        elif isinstance(node, tuple):
+            for a, b in zip(node, new_node):
+                walk(a, b)
+        elif hasattr(node, "shape") and tuple(node.shape) == tuple(table_shape):
+            np.testing.assert_allclose(
+                unshard(np.asarray(node), sharding),
+                unshard(np.asarray(new_node), new_sharding),
+            )
+            found.append(True)
+
+    walk(jax.tree.map(np.asarray, opt_state), o3)
+    assert found
