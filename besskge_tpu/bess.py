@@ -130,6 +130,8 @@ class BessKGE(ABC):
             )
         if axis_name is None and self.sharding.n_shard != 1:
             raise ValueError("axis_name=None requires n_shard == 1")
+        # Let the score function reach mesh collectives (e.g. ConvE SyncBN).
+        score_fn.mesh_axis = axis_name
         self.entity_embedding_size: int = score_fn.entity_row_size
 
     # ------------------------------------------------------------------

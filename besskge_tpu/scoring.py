@@ -101,6 +101,9 @@ class BaseScoreFunction(ABC):
     #: cast to this dtype after gathering (e.g. ``jnp.bfloat16`` for the
     #: reference's fp16-compute recipe) while storage stays in ``dtype``.
     compute_dtype: Any = None
+    #: Mesh axis name set by the BESS module wrapping this score function
+    #: (``None`` outside shard_map); used by cross-shard ops like SyncBN.
+    mesh_axis: Any = None
 
     def _build_tables(
         self,
@@ -674,9 +677,14 @@ class ConvE(MatrixDecompositionScoreFunction):
 
     Tail-corruption only (use with inverse triples for head queries). On TPU
     the conv runs in NHWC via ``lax.conv_general_dilated``. BatchNorm uses
-    batch statistics when ``train=True``; for inference the running stats in
-    the params pytree are used (update them with :meth:`update_bn_stats`,
-    a TPU-friendly stand-in for torch's EMA tracking).
+    batch statistics when ``train=True`` (per device by default — matching
+    the reference's per-IPU-replica torch BN; set ``sync_batch_norm=True``
+    to ``pmean`` mean/E[x²] over the mesh axis for global-batch statistics);
+    for inference the running stats in the params pytree are used. The
+    training step refreshes them with a torch-style momentum EMA every step
+    (see ``trainer._apply_bn_ema``); :meth:`update_bn_stats` remains for
+    offline refresh. EMA inputs are computed dropout-free, once per device
+    step over all micro-batches' positive (h, r) pairs.
     """
 
     def __init__(
@@ -698,10 +706,12 @@ class ConvE(MatrixDecompositionScoreFunction):
         feature_map_dropout: float = 0.2,
         hidden_dropout: float = 0.3,
         batch_normalization: bool = True,
+        sync_batch_norm: bool = False,
         seed: int = 0,
         dtype: Any = np.float32,
     ) -> None:
         super().__init__(negative_sample_sharing)
+        self.sync_batch_norm = sync_batch_norm
         if input_channels * embedding_height * embedding_width != embedding_size:
             raise ValueError(
                 "embedding_size must equal"
@@ -771,11 +781,19 @@ class ConvE(MatrixDecompositionScoreFunction):
     def _extra_params(self) -> Params:
         return jax.tree.map(lambda x: x, self._net_params)
 
-    @staticmethod
-    def _bn(x, stats, train, axes):
+    def _batch_stats(self, x, axes, sync):
+        """(mean, var) of a batch; with ``sync``, pmean'd over the mesh axis
+        for exact global-batch statistics (equal per-device batch sizes)."""
+        mean = jnp.mean(x, axis=axes)
+        sq = jnp.mean(jnp.square(x), axis=axes)
+        if sync and self.mesh_axis is not None:
+            mean = jax.lax.pmean(mean, self.mesh_axis)
+            sq = jax.lax.pmean(sq, self.mesh_axis)
+        return mean, sq - jnp.square(mean)
+
+    def _bn(self, x, stats, train, axes):
         if train:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean, var = self._batch_stats(x, axes, self.sync_batch_norm)
         else:
             mean, var = stats["mean"], stats["var"]
         inv = jax.lax.rsqrt(var + 1e-5)
@@ -839,9 +857,18 @@ class ConvE(MatrixDecompositionScoreFunction):
         return jax.nn.relu(x)
 
     def update_bn_stats(
-        self, params: Params, head_emb, relation_id, momentum: float = 0.1
+        self,
+        params: Params,
+        head_emb,
+        relation_id,
+        momentum: float = 0.1,
+        sync: bool = False,
     ) -> Params:
-        """Refresh BN running stats from one (large) batch of (h, r) inputs."""
+        """Refresh BN running stats from one (large) batch of (h, r) inputs.
+
+        ``sync=True`` (used by the in-step EMA under ``shard_map``) pmeans
+        the statistics over the mesh axis: running stats are REPLICATED
+        params, so every shard must write the same value."""
         if not self.batch_norm:
             return params
         r = self.relation_embedding(params, relation_id)
@@ -854,7 +881,7 @@ class ConvE(MatrixDecompositionScoreFunction):
         new = dict(params)
 
         def upd(stats, x, axes):
-            m, v = jnp.mean(x, axis=axes), jnp.var(x, axis=axes)
+            m, v = self._batch_stats(x, axes, sync)
             return {
                 **stats,
                 "mean": (1 - momentum) * stats["mean"] + momentum * m,

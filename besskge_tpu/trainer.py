@@ -83,6 +83,38 @@ def init_optimizer_state(
     return jax.jit(_init, out_shardings=shardings)(params)
 
 
+
+def _apply_bn_ema(score_fn, old_params, new_params, batch, momentum=0.1):
+    """Torch-style BatchNorm running-stats maintenance inside the train step.
+
+    Running mean/var are NOT trainable: any optimizer touch (zero-grad AdamW
+    weight decay) is discarded, and they are refreshed with a momentum EMA of
+    this step's positive (h, r) batch statistics computed from the
+    pre-update params — the closest functional analog of torch BN's
+    per-forward EMA (one update per device step over all micro-batches'
+    positives, dropout-free).
+    """
+    if not getattr(score_fn, "batch_norm", False) or not hasattr(
+        score_fn, "update_bn_stats"
+    ):
+        return new_params
+    heads = batch["head"][:, 0].reshape(-1)
+    rels = batch["relation"][:, 0].reshape(-1)
+    h_emb = jnp.take(old_params["entity_embedding"], heads, axis=0)
+    refreshed = score_fn.update_bn_stats(
+        old_params, h_emb, rels, momentum=momentum, sync=True
+    )
+    out = dict(new_params)
+    for k in ("bn0", "bn1", "bn2"):
+        if k in out:
+            out[k] = {
+                **out[k],
+                "mean": refreshed[k]["mean"],
+                "var": refreshed[k]["var"],
+            }
+    return out
+
+
 def _sparse_device_train_step(bess, optimizer, entity_optimizer):
     """Device train step with sparse entity updates: differentiate w.r.t. the
     gathered rows only (no dense table gradient is ever materialized), then
@@ -165,6 +197,7 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
         new_other = optax.apply_updates(other, updates)
         new_params = dict(new_other)
         new_params["entity_embedding"] = new_table
+        new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
         new_opt_state = {"entity": new_ent_state, "other": new_other_state}
         return new_params, new_opt_state, _format_outputs(bess, outs)
 
@@ -228,6 +261,7 @@ def build_train_step(
             )
             new_params = optax.apply_updates(other, updates)
             new_params["entity_embedding"] = new_table
+            new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
             return (
                 new_params,
                 {"entity": new_ent_state, "other": new_other_state},
@@ -235,6 +269,7 @@ def build_train_step(
             )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
         return new_params, new_opt_state, _format_outputs(bess, outs)
 
     device_train_step = (

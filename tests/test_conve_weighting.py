@@ -128,3 +128,140 @@ def test_hrt_freq_weighting_and_triple_weight():
     out_u = fwd(params, {k: jnp.asarray(v) for k, v in no_w.items()})
     assert np.isfinite(float(out_w["loss"]))
     assert abs(float(out_w["loss"]) - float(out_u["loss"])) > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm running-stats maintenance (torch-EMA analog) and SyncBN.
+# Reference behavior: torch BN momentum EMA per forward
+# (/root/reference/besskge/scoring.py ConvE, torch.nn.BatchNorm defaults).
+
+
+def _conve_training(n_shard, sync_bn, mesh):
+    ds = _dataset()
+    sharding = Sharding.create(N_ENTITY, n_shard, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(
+        ds, "train", sharding, add_inverse_triples=True
+    )
+    score_fn = ConvE(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=32,
+        embedding_height=4,
+        embedding_width=8,
+        inverse_relations=True,
+        sync_batch_norm=sync_bn,
+        seed=SEED,
+    )
+    ns = RandomShardedNegativeSampler(
+        8, sharding, SEED, "t", local_sampling=False, flat_negative_format=True
+    )
+    bs = RandomShardedBatchSampler(pts, ns, shard_bs=32, batches_per_step=1, seed=SEED)
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=score_fn,
+        loss_fn=SampledSoftmaxCrossEntropyLoss(n_entity=N_ENTITY),
+        axis_name=None if mesh is None else "shard",
+    )
+    trainer = Trainer(bess, bs, optax.adam(3e-3), mesh=mesh, seed=SEED)
+    return sharding, score_fn, bs, trainer
+
+
+def _expected_bn_stats(score_fn, params_host, h_emb, rels):
+    """Host-side EMA reference: update_bn_stats on the global positive batch
+    (per-shard pmean of equal-size stats == global-batch stats)."""
+    saved = score_fn.mesh_axis
+    score_fn.mesh_axis = None
+    try:
+        return score_fn.update_bn_stats(
+            params_host, jnp.asarray(h_emb), jnp.asarray(rels), momentum=0.1
+        )
+    finally:
+        score_fn.mesh_axis = saved
+
+
+def test_bn_ema_in_train_step_single_device():
+    """One train step refreshes bn0/1/2 running stats with the 0.1-momentum
+    EMA of this step's positive (h, r) batch statistics (dropout-free)."""
+    _, score_fn, bs, trainer = _conve_training(1, False, None)
+    params0 = jax.device_get(trainer.params)
+    batch = trainer._put(bs.sample_batch([0]))
+    new_params, _, _ = trainer.train_step(
+        trainer.params, trainer.opt_state, batch, jax.random.PRNGKey(3)
+    )
+    heads = np.asarray(batch["head"])[:, 0].reshape(-1)
+    rels = np.asarray(batch["relation"])[:, 0].reshape(-1)
+    expected = _expected_bn_stats(
+        score_fn, params0, params0["entity_embedding"][heads], rels
+    )
+    for k in ("bn0", "bn1", "bn2"):
+        # Stats moved off their init values...
+        assert float(jnp.abs(new_params[k]["mean"]).max()) > 1e-4
+        # ...and match the torch-style EMA formula exactly.
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]["mean"]), np.asarray(expected[k]["mean"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]["var"]), np.asarray(expected[k]["var"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_bn_ema_in_train_step_mesh_matches_global_batch():
+    """On a 4-shard mesh the in-step EMA pmeans the statistics: the running
+    stats equal the EMA of the GLOBAL positive batch, replicated."""
+    sharding, score_fn, bs, trainer = _conve_training(N_SHARD, False, make_shard_mesh(N_SHARD))
+    params0 = jax.device_get(trainer.params)
+    batch = trainer._put(bs.sample_batch([0]))
+    new_params, _, _ = trainer.train_step(
+        trainer.params, trainer.opt_state, batch, jax.random.PRNGKey(3)
+    )
+    table = params0["entity_embedding"]  # (S*M, row) shard-major
+    M = sharding.max_entity_per_shard
+    head, rel = np.asarray(batch["head"]), np.asarray(batch["relation"])
+    h_emb = np.concatenate(
+        [table[s * M + head[:, s].reshape(-1)] for s in range(N_SHARD)]
+    )
+    rels = np.concatenate([rel[:, s].reshape(-1) for s in range(N_SHARD)])
+    expected = _expected_bn_stats(score_fn, params0, h_emb, rels)
+    for k in ("bn0", "bn1", "bn2"):
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]["mean"]), np.asarray(expected[k]["mean"]),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_params[k]["var"]), np.asarray(expected[k]["var"]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_sync_batch_norm_forward_uses_global_stats():
+    """sync_batch_norm=True: _batch_stats pmeans mean/E[x^2] over the mesh
+    axis, so every shard normalizes with GLOBAL batch statistics."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+    score_fn = ConvE(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=32,
+        embedding_height=4,
+        embedding_width=8,
+        sync_batch_norm=True,
+        seed=SEED,
+    )
+    score_fn.mesh_axis = "shard"
+    mesh = make_shard_mesh(N_SHARD)
+    x = np.random.default_rng(0).normal(size=(N_SHARD * 8, 5, 5, 3)).astype(np.float32)
+
+    def f(xb):
+        return score_fn._batch_stats(xb, (0, 1, 2), True)
+
+    mean, var = shard_map(
+        f, mesh=mesh, in_specs=P("shard"), out_specs=(P(), P())
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(mean), x.mean((0, 1, 2)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), x.var((0, 1, 2)), rtol=1e-4, atol=1e-6)
