@@ -135,26 +135,37 @@ class PlantedRotatE:
         return ranks.astype(np.int32)
 
 
-def _argmax_tails(entity, phase, h, r, cand, cand_chunk: int = 256):
-    """Planted-score argmax over each triple's candidate set, on device.
+def _make_argmax_tails():
+    """Build the on-device planted-score argmax picker (jitted ONCE).
 
-    ``cand`` is (B, K) type-matched candidate entity IDs; returns the (B,)
-    chosen tails. Scores are computed in bf16 over candidate chunks to bound
-    the broadcast intermediate (B × chunk × 2emb).
+    The picker draws each triple's ``k_candidates`` type-matched candidates
+    *on device* from (t_lo, t_n) relation bounds — only (B,) heads/relations
+    cross host→device, not a (B, K) candidate matrix — scores them against
+    the planted model in bf16 over chunks (bounding the B × chunk × 2emb
+    broadcast), and returns the per-triple argmax tail.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from besskge_tpu.utils import complex_rotation
 
-    @jax.jit
-    def pick(e_tab, ph_tab, hh, rr, cc):
+    @functools.partial(jax.jit, static_argnums=(7, 8))
+    def pick(e_tab, ph_tab, hh, rr, t_lo, t_n, key, k_candidates, cand_chunk):
         hr = complex_rotation(
             jnp.take(e_tab, hh, axis=0), jnp.take(ph_tab, rr, axis=0)
         ).astype(jnp.bfloat16)
+        lo = jnp.take(t_lo, rr)
+        n_ty = jnp.take(t_n, rr)
+        n_chunk = (k_candidates + cand_chunk - 1) // cand_chunk
 
-        def chunk(carry, c_ids):
+        def chunk(carry, ck):
             best, best_id = carry
+            u = jax.random.uniform(ck, (hh.shape[0], cand_chunk))
+            c_ids = (lo[:, None] + (u * n_ty[:, None]).astype(jnp.int32)).astype(
+                jnp.int32
+            )
             emb = jnp.take(e_tab, c_ids, axis=0).astype(jnp.bfloat16)
             s = -jnp.abs(hr[:, None, :] - emb).sum(-1, dtype=jnp.float32)
             m = s.max(1)
@@ -162,18 +173,44 @@ def _argmax_tails(entity, phase, h, r, cand, cand_chunk: int = 256):
             upd = m > best
             return (jnp.where(upd, m, best), jnp.where(upd, am, best_id)), None
 
-        k = cc.shape[1]
-        n_chunk = (k + cand_chunk - 1) // cand_chunk
-        cc = jnp.pad(cc, ((0, 0), (0, n_chunk * cand_chunk - k)), mode="edge")
-        chunks = jnp.moveaxis(cc.reshape(-1, n_chunk, cand_chunk), 1, 0)
         init = (
             jnp.full(hh.shape, -jnp.inf, jnp.float32),
             jnp.zeros(hh.shape, jnp.int32),
         )
-        (best, best_id), _ = jax.lax.scan(chunk, init, chunks)
+        (best, best_id), _ = jax.lax.scan(chunk, init, jax.random.split(key, n_chunk))
         return best_id
 
-    return np.asarray(pick(entity, phase, h, r, cand))
+    return pick
+
+
+_ARGMAX_TAILS = None
+
+
+def _jax_key(seed: int, part: str):
+    """Deterministic PRNG key for a split's candidate draws."""
+    import jax
+
+    part_id = {"train": 1, "valid": 2, "test": 3}.get(part, 9)
+    return jax.random.PRNGKey((seed * 1_000_003 + part_id) & 0x7FFFFFFF)
+
+
+def _split_key(key):
+    import jax
+
+    k1, k2 = jax.random.split(key)
+    return k1, k2
+
+
+def _argmax_tails(entity, phase, h, r, t_lo, t_n, key, k_candidates,
+                  cand_chunk: int = 256):
+    """Planted-score argmax over on-device-drawn candidates (see
+    :func:`_make_argmax_tails`); returns the (B,) chosen tails."""
+    global _ARGMAX_TAILS
+    if _ARGMAX_TAILS is None:
+        _ARGMAX_TAILS = _make_argmax_tails()
+    return np.asarray(
+        _ARGMAX_TAILS(entity, phase, h, r, t_lo, t_n, key, k_candidates, cand_chunk)
+    )
 
 
 def build_biokg_fixture(
@@ -237,18 +274,25 @@ def build_biokg_fixture(
             h_lo[r_all] + rng.integers(0, h_n[r_all], endpoint=False)
         ).astype(np.int32)
         t_all = np.empty(n_part, np.int32)
+        t_lo_dev = jnp.asarray(t_lo, jnp.int32)
+        t_n_dev = jnp.asarray(t_n, jnp.int32)
+        key = _jax_key(seed, part)
         for i in range(0, n_part, batch):
             s = slice(i, min(i + batch, n_part))
-            # Candidates are drawn per batch: a full-split candidate matrix
-            # would be tens of GB of host RAM at scale 1.
-            cand = (
-                t_lo[r_all[s], None]
-                + rng.integers(0, t_n[r_all[s], None], size=(h_all[s].size, k_candidates))
-            ).astype(np.int32)
-            t_all[s] = _argmax_tails(
-                e_dev, p_dev, jnp.asarray(h_all[s]), jnp.asarray(r_all[s]),
-                jnp.asarray(cand),
+            # Candidates are drawn on device (uniform type-matched, with
+            # replacement): a full-split candidate matrix would be tens of
+            # GB of host RAM / host→device traffic at scale 1. Last batch
+            # is padded to `batch` so the picker compiles exactly once.
+            hh = h_all[s]
+            pad = batch - hh.size
+            key, sub = _split_key(key)
+            picked = _argmax_tails(
+                e_dev, p_dev,
+                jnp.asarray(np.pad(hh, (0, pad), mode="edge")),
+                jnp.asarray(np.pad(r_all[s], (0, pad), mode="edge")),
+                t_lo_dev, t_n_dev, sub, k_candidates,
             )
+            t_all[s] = picked[: hh.size]
         triples[part] = np.stack([h_all, r_all, t_all], axis=1)
         if part == "train":
             continue

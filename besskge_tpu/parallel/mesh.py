@@ -30,6 +30,7 @@ __all__ = [
     "batch_partition_specs",
     "shard_params",
     "shard_batch",
+    "replicate_tree",
 ]
 
 AXIS = "shard"
@@ -80,3 +81,10 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         k: jax.device_put(v, NamedSharding(mesh, P(None, AXIS)))
         for k, v in batch.items()
     }
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree fully replicated on every mesh device (e.g. the
+    :class:`~besskge_tpu.device_sampler.DeviceBatchSampler` state)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -34,7 +34,12 @@ from besskge_tpu.bess import BessKGE, _device_step, _format_outputs, _out_specs
 from besskge_tpu.optim import EntityRowOptimizer
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
 
-__all__ = ["build_train_step", "init_optimizer_state", "Trainer"]
+__all__ = [
+    "build_train_step",
+    "build_device_train_step",
+    "init_optimizer_state",
+    "Trainer",
+]
 
 Params = Dict[str, Any]
 
@@ -235,47 +240,10 @@ def build_train_step(
         if isinstance(entity_optimizer, FusedDenseAdamW)
         else None
     )
-
-    def dense_device_train_step(params, opt_state, batch, rng=None):
-        def loss_fn(p):
-            outs = _device_step(bess, p, batch, train=True, rng=rng)
-            return jnp.sum(outs["loss"]), outs
-
-        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        # Data-parallel reduction for replicated params only: the entity
-        # table's gradient is complete shard-locally (AllToAll transpose).
-        grads = {
-            k: (g if k == "entity_embedding" else bess.psum(g))
-            for k, g in grads.items()
-        }
-        if fused_dense is not None:
-            ent_g = grads.pop("entity_embedding")
-            new_table, new_ent_state = fused_dense.apply_dense(
-                params["entity_embedding"], opt_state["entity"], ent_g
-            )
-            other = {
-                k: v for k, v in params.items() if k != "entity_embedding"
-            }
-            updates, new_other_state = optimizer.update(
-                grads, opt_state["other"], other
-            )
-            new_params = optax.apply_updates(other, updates)
-            new_params["entity_embedding"] = new_table
-            new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
-            return (
-                new_params,
-                {"entity": new_ent_state, "other": new_other_state},
-                _format_outputs(bess, outs),
-            )
-        updates, new_opt_state = optimizer.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
-        return new_params, new_opt_state, _format_outputs(bess, outs)
-
     device_train_step = (
         _sparse_device_train_step(bess, optimizer, entity_optimizer)
         if entity_optimizer is not None and fused_dense is None
-        else dense_device_train_step
+        else _dense_device_train_step(bess, optimizer, fused_dense)
     )
 
     donate_args = (0, 1) if donate else ()
@@ -314,15 +282,179 @@ def build_train_step(
     return fn
 
 
+def _dense_device_train_step(bess, optimizer, fused_dense=None):
+    """Device train step with a dense entity-table gradient (small/medium
+    tables): one ``value_and_grad`` over the whole params pytree, optionally
+    finishing with the fused in-place AdamW Pallas kernel."""
+
+    def dense_device_train_step(params, opt_state, batch, rng=None):
+        def loss_fn(p):
+            outs = _device_step(bess, p, batch, train=True, rng=rng)
+            return jnp.sum(outs["loss"]), outs
+
+        (_, outs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # Data-parallel reduction for replicated params only: the entity
+        # table's gradient is complete shard-locally (AllToAll transpose).
+        grads = {
+            k: (g if k == "entity_embedding" else bess.psum(g))
+            for k, g in grads.items()
+        }
+        if fused_dense is not None:
+            ent_g = grads.pop("entity_embedding")
+            new_table, new_ent_state = fused_dense.apply_dense(
+                params["entity_embedding"], opt_state["entity"], ent_g
+            )
+            other = {
+                k: v for k, v in params.items() if k != "entity_embedding"
+            }
+            updates, new_other_state = optimizer.update(
+                grads, opt_state["other"], other
+            )
+            new_params = optax.apply_updates(other, updates)
+            new_params["entity_embedding"] = new_table
+            new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
+            return (
+                new_params,
+                {"entity": new_ent_state, "other": new_other_state},
+                _format_outputs(bess, outs),
+            )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = _apply_bn_ema(bess.score_fn, params, new_params, batch)
+        return new_params, new_opt_state, _format_outputs(bess, outs)
+
+    return dense_device_train_step
+
+
+def build_device_train_step(
+    bess: BessKGE,
+    optimizer: optax.GradientTransformation,
+    sampler: "DeviceBatchSampler",
+    mesh: Optional[Mesh] = None,
+    entity_optimizer: Optional["EntityRowOptimizer"] = None,
+    donate: bool = True,
+    steps_per_call: int = 1,
+) -> Callable:
+    """Build ``fn(params, opt_state, sampler_state, key[, rng]) ->
+    (params, opt_state, outputs)`` with the batch drawn ON DEVICE by a
+    :class:`~besskge_tpu.device_sampler.DeviceBatchSampler` — the host feeds
+    nothing but a PRNG key per call.
+
+    ``steps_per_call > 1`` runs that many optimizer steps in one compiled
+    dispatch (``lax.scan`` over per-step keys), amortizing host dispatch
+    latency; outputs then carry only the last step's ``loss``. Requires the
+    dense-gradient path: a sparse :class:`EntityRowOptimizer` relies on
+    donated-buffer aliasing for its in-place row writes, which threading the
+    table through a scan carry would defeat (see
+    ``_sparse_device_train_step``).
+    """
+    from besskge_tpu.optim import FusedDenseAdamW
+
+    fused_dense = (
+        entity_optimizer
+        if isinstance(entity_optimizer, FusedDenseAdamW)
+        else None
+    )
+    sparse = entity_optimizer is not None and fused_dense is None
+    if sparse and steps_per_call != 1:
+        raise ValueError(
+            "steps_per_call > 1 requires a dense entity update (the scan "
+            "carry breaks in-place row-update aliasing)"
+        )
+    device_train_step = (
+        _sparse_device_train_step(bess, optimizer, entity_optimizer)
+        if sparse
+        else _dense_device_train_step(bess, optimizer, fused_dense)
+    )
+
+    def run(params, opt_state, sampler_state, key, rng, local_slice):
+        def one(p, o, k, r):
+            batch = sampler.sample(sampler_state, k)
+            if local_slice:
+                batch = sampler.slice_local(
+                    batch, jax.lax.axis_index(AXIS)
+                )
+            return device_train_step(p, o, batch, r)
+
+        if steps_per_call == 1:
+            return one(params, opt_state, key, rng)
+        keys = jax.random.split(key, steps_per_call)
+        rngs = (
+            jax.random.split(rng, steps_per_call) if rng is not None else keys
+        )
+
+        def body(carry, xs):
+            p, o = carry
+            k, r = xs
+            p, o, outs = one(p, o, k, r if rng is not None else None)
+            return (p, o), outs["loss"]
+
+        (p, o), losses = jax.lax.scan(
+            body, (params, opt_state), (keys, rngs)
+        )
+        return p, o, {"loss": losses[-1]}
+
+    donate_args = (0, 1) if donate else ()
+    if mesh is None:
+        if bess.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+
+        @partial(jax.jit, donate_argnums=donate_args)
+        def single_fn(params, opt_state, sampler_state, key, rng=None):
+            return run(params, opt_state, sampler_state, key, rng, False)
+
+        return single_fn
+
+    out_specs_outs = (
+        _out_specs(bess) if steps_per_call == 1 else {"loss": P()}
+    )
+
+    @partial(jax.jit, donate_argnums=donate_args)
+    def fn(params, opt_state, sampler_state, key, rng=None):
+        p_specs = param_partition_specs(params)
+        o_specs = _opt_state_specs(opt_state, params["entity_embedding"].shape)
+        st_specs = {k: P() for k in sampler_state}
+        out_specs = (p_specs, o_specs, out_specs_outs)
+
+        def sharded(p, o, st, k, r=None):
+            return run(p, o, st, k, r, True)
+
+        if rng is None:
+            mapped = jax.shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(p_specs, o_specs, st_specs, P()),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+            return mapped(params, opt_state, sampler_state, key)
+        mapped = jax.shard_map(
+            sharded,
+            mesh=mesh,
+            in_specs=(p_specs, o_specs, st_specs, P(), P()),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return mapped(params, opt_state, sampler_state, key, rng)
+
+    return fn
+
+
 class Trainer:
     """End-to-end training driver.
 
     :param bess: the BESS module (must have a ``loss_fn``).
-    :param batch_sampler: host-side batch stream.
+    :param batch_sampler: host-side batch stream
+        (:class:`~besskge_tpu.batch_sampler.ShardedBatchSampler`) or a
+        :class:`~besskge_tpu.device_sampler.DeviceBatchSampler` — with the
+        latter, batches are drawn inside the jitted step and the host feeds
+        only PRNG keys.
     :param optimizer: any optax transformation (AdamW, SGDM, ...).
     :param mesh: device mesh; ``None`` for the single-device path.
     :param params: initial params; defaults to ``score_fn.initial_params()``.
     :param seed: rng seed for dropout streams.
+    :param steps_per_call: with a device sampler, optimizer steps fused into
+        one dispatch (dense entity updates only).
     """
 
     def __init__(
@@ -334,13 +466,22 @@ class Trainer:
         params: Optional[Params] = None,
         seed: int = 0,
         entity_optimizer: Optional["EntityRowOptimizer"] = None,
+        steps_per_call: int = 1,
     ) -> None:
+        from besskge_tpu.device_sampler import DeviceBatchSampler
+
         if bess.loss_fn is None:
             raise ValueError("Training requires a loss_fn on the BESS module")
         self.bess = bess
         self.batch_sampler = batch_sampler
         self.optimizer = optimizer
         self.mesh = mesh
+        self.device_sampling = isinstance(batch_sampler, DeviceBatchSampler)
+        self.steps_per_call = steps_per_call
+        if steps_per_call != 1 and not self.device_sampling:
+            raise ValueError(
+                "steps_per_call requires a DeviceBatchSampler"
+            )
         raw = params if params is not None else bess.score_fn.initial_params()
         if mesh is not None:
             from besskge_tpu.parallel.mesh import shard_params
@@ -353,9 +494,24 @@ class Trainer:
         self.opt_state = init_optimizer_state(
             optimizer, self.params, mesh, entity_optimizer
         )
-        self.train_step = build_train_step(
-            bess, optimizer, mesh, entity_optimizer
-        )
+        if self.device_sampling:
+            self.sampler_state = batch_sampler.state()
+            if mesh is not None:
+                from besskge_tpu.parallel.mesh import replicate_tree
+
+                self.sampler_state = replicate_tree(self.sampler_state, mesh)
+            self.train_step = build_device_train_step(
+                bess,
+                optimizer,
+                batch_sampler,
+                mesh,
+                entity_optimizer,
+                steps_per_call=steps_per_call,
+            )
+        else:
+            self.train_step = build_train_step(
+                bess, optimizer, mesh, entity_optimizer
+            )
         self.rng = jax.random.PRNGKey(seed)
         from besskge_tpu.scoring import ConvE
 
@@ -392,24 +548,12 @@ class Trainer:
             self.batch_sampler.batches_per_step
             * self.batch_sampler.n_shard
             * self.batch_sampler.shard_bs
-        )
+        ) * (self.steps_per_call if self.device_sampling else 1)
         out: Optional[Dict[str, Any]] = None
         best_metric = -float("inf")
         t0 = time.perf_counter()
         for epoch in range(n_epochs):
-            for batch in self.batch_sampler.get_dataloader(
-                shuffle=shuffle, seed_offset=epoch
-            ):
-                jbatch = self._put(batch)
-                if self.needs_rng:
-                    self.rng, sub = jax.random.split(self.rng)
-                    self.params, self.opt_state, out = self.train_step(
-                        self.params, self.opt_state, jbatch, sub
-                    )
-                else:
-                    self.params, self.opt_state, out = self.train_step(
-                        self.params, self.opt_state, jbatch
-                    )
+            for out in self._step_stream(epoch, shuffle):
                 step += 1
                 if log_every and step % log_every == 0:
                     rec = {
@@ -442,6 +586,45 @@ class Trainer:
         if best_metric > -float("inf"):
             summary[f"best_{checkpoint_metric}"] = best_metric
         return summary
+
+    def _step_stream(self, epoch: int, shuffle: bool):
+        """Run one epoch of train steps, yielding each step's outputs.
+
+        Host-sampler path: iterate the background-prefetched dataloader and
+        ship each batch. Device-sampler path: feed only a deterministic
+        per-step PRNG key (`steps_per_call` fused steps per dispatch)."""
+        if self.device_sampling:
+            n_calls = max(
+                1, -(-len(self.batch_sampler) // self.steps_per_call)
+            )
+            for i in range(n_calls):
+                key = self.batch_sampler.next_key(epoch * n_calls + i)
+                if self.needs_rng:
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.params, self.opt_state, out = self.train_step(
+                        self.params, self.opt_state,
+                        self.sampler_state, key, sub,
+                    )
+                else:
+                    self.params, self.opt_state, out = self.train_step(
+                        self.params, self.opt_state, self.sampler_state, key
+                    )
+                yield out
+            return
+        for batch in self.batch_sampler.get_dataloader(
+            shuffle=shuffle, seed_offset=epoch
+        ):
+            jbatch = self._put(batch)
+            if self.needs_rng:
+                self.rng, sub = jax.random.split(self.rng)
+                self.params, self.opt_state, out = self.train_step(
+                    self.params, self.opt_state, jbatch, sub
+                )
+            else:
+                self.params, self.opt_state, out = self.train_step(
+                    self.params, self.opt_state, jbatch
+                )
+            yield out
 
     def save(self, path: str, step: int = 0, sharded: bool = False) -> None:
         """Checkpoint current params + optimizer state (+ sharding meta).
