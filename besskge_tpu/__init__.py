@@ -26,6 +26,7 @@ from besskge_tpu import (  # noqa: F401,E402
     native,
     negative_sampler,
     optim,
+    packed,
     pipeline,
     scoring,
     sharding,

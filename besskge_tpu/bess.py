@@ -50,6 +50,7 @@ from besskge_tpu.negative_sampler import (
 )
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
 from besskge_tpu.scoring import BaseScoreFunction
+from besskge_tpu.packed import take_rows
 from besskge_tpu.utils import gather_indices
 
 __all__ = [
@@ -318,8 +319,8 @@ class EmbeddingMovingBessKGE(BessKGE):
 
         # Fused gather from the local shard (device hot loop #1).
         if gathered_emb is None:
-            gathered_emb = jnp.take(
-                table, self.gather_plan(head, tail, negative), axis=0
+            gathered_emb = take_rows(
+                table, self.gather_plan(head, tail, negative)
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -451,8 +452,8 @@ class ScoreMovingBessKGE(BessKGE):
         b_neg, n_neg = negative.shape[1], negative.shape[2]
 
         if gathered_emb is None:
-            gathered_emb = jnp.take(
-                table, self.gather_plan(head, tail, negative), axis=0
+            gathered_emb = take_rows(
+                table, self.gather_plan(head, tail, negative)
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -750,9 +751,9 @@ class TopKQueryBessKGE:
 
         relation_all = self._all_gather(relation).reshape(-1)
         if scheme == "h":
-            known_emb_all = self._all_gather(jnp.take(table, tail, axis=0))
+            known_emb_all = self._all_gather(take_rows(table, tail))
         else:
-            known_emb_all = self._all_gather(jnp.take(table, head, axis=0))
+            known_emb_all = self._all_gather(take_rows(table, head))
         known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
 
         def loop_body(i, carry):
@@ -768,7 +769,7 @@ class TopKQueryBessKGE:
                     valid, gather_indices(mask_rows, slide)
                 )
             neg_ent_idx = gather_indices(candidate, slide)
-            neg_emb = jnp.take(table, neg_ent_idx, axis=0)
+            neg_emb = take_rows(table, neg_ent_idx)
             if scheme == "h":
                 negative_score = self.score_fn.score_heads(
                     params, neg_emb, relation_all, known_emb_all
@@ -777,6 +778,10 @@ class TopKQueryBessKGE:
                 negative_score = self.score_fn.score_tails(
                     params, known_emb_all, relation_all, neg_emb
                 )
+            # fp32 merge regardless of score/storage dtype: ranking wants
+            # the extra mantissa, and the scan carry stays dtype-stable
+            # across fp32 / bf16-compute / packed-bf16 configurations.
+            negative_score = negative_score.astype(jnp.float32)
             negative_score = negative_score + BAD_NEGATIVE_SCORE * (
                 ~valid
             ).astype(negative_score.dtype)
@@ -789,7 +794,7 @@ class TopKQueryBessKGE:
 
         total_bs = n_shard * shard_bs
         init_score = jnp.full(
-            (total_bs, n_best), BAD_NEGATIVE_SCORE, dtype=table.dtype
+            (total_bs, n_best), BAD_NEGATIVE_SCORE, dtype=jnp.float32
         )
         init_idx = jnp.full(
             (total_bs, n_best), sharding.max_entity_per_shard, dtype=jnp.int32
@@ -900,7 +905,7 @@ class AllScoresBESS:
         relation_all = self._all_gather(relation).reshape(-1)
         known = tail if scheme == "h" else head
         known_emb_all = self._all_gather(
-            jnp.take(table, known, axis=0)
+            take_rows(table, known)
         ).reshape(-1, self.entity_embedding_size)
 
         ent_slice = jnp.minimum(
@@ -908,7 +913,7 @@ class AllScoresBESS:
             + jnp.arange(self.window_size, dtype=jnp.int32),
             self.sharding.max_entity_per_shard - 1,
         )
-        neg_emb = jnp.take(table, ent_slice, axis=0)[None]
+        neg_emb = take_rows(table, ent_slice)[None]
 
         if scheme == "h":
             scores = self.score_fn.score_heads(

@@ -16,16 +16,29 @@ published shape —
 - official-style eval negatives: 500 type-matched negative heads and 500
   negative tails per eval triple.
 
-Structure is *planted*: a ground-truth RotatE model is sampled, and each
-triple's tail is the argmax of the planted score over ``k_candidates``
-random type-matched entities. This makes the task exactly realizable by the
-training recipe under test, with a difficulty knob: against ``n_neg``
-uniform type-matched negatives, the planted model's expected (analytic)
-MRR is ``(1 - (1-p)^(n_neg+1)) / ((n_neg+1) * p)`` with
-``p = 1/(k_candidates+1)`` — ``k_candidates=1280``, ``n_neg=500`` puts the
-oracle ceiling at ≈0.83, i.e. the real dataset's 0.818 quality bar. A
-recipe/convention bug (sampling distribution, loss scaling, score sign)
-shows up as a trained-vs-oracle MRR gap.
+Structure is *planted*: a ground-truth RotatE model is sampled with
+**clustered** entity embeddings (each type is a mixture of ~``n/cluster_size``
+uniform clusters — the analog of the strong community structure that makes
+real biomedical KGs learnable), and each triple's (head, tail) PAIR is drawn
+from the relation's Boltzmann coupling
+``p(h, t | r) ∝ exp(score(h, r, t) / T)`` — the head from its marginal
+``p(h) ∝ Z_h(r)`` (hub structure; streaming-logsumexp partition function on
+device) and the tail from the conditional over the *entire* tail type,
+sampled exactly with the Gumbel-max trick on device. Joint sampling makes
+BOTH eval directions (head- and tail-corruption, as in the official
+protocol) rank the true entity by the same concentrated posterior.
+
+The temperature ``T`` is auto-calibrated (bisection at build time) so that
+the planted model's expected MRR against the 500 type-matched eval negatives
+hits ``target_oracle`` — the knob that puts the fixture's quality ceiling at
+the real dataset's published bar (reference result: valid MRR 0.818,
+``/root/reference/notebooks/1_biokg_training_inference.ipynb`` cell 34).
+Because sampled tails sit in the top ~0.1% of their type by planted score
+while eval negatives are uniform over the type, the margin between true and
+typical-negative is wide (cluster-scale, not order-statistic-scale): a
+correct training recipe can approach the oracle, and a recipe/convention bug
+(sampling distribution, loss scaling, score sign) shows up as a
+trained-vs-oracle MRR gap.
 
 Candidate scoring runs on the default JAX backend (TPU at full scale; the
 tests use ``scale`` ≪ 1 on CPU). Everything is deterministic in ``seed``
@@ -33,6 +46,8 @@ for a fixed backend.
 """
 
 import dataclasses
+import functools
+import math
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -45,7 +60,7 @@ __all__ = [
     "BIOKG_SPLIT_SIZES",
     "PlantedRotatE",
     "build_biokg_fixture",
-    "oracle_mrr",
+    "expected_rr",
 ]
 
 #: Published ogbl-biokg entity-type sizes (sum = 93,773).
@@ -92,12 +107,16 @@ def _relation_spec() -> Tuple[Tuple[str, str, float], ...]:
     return tuple(spec)
 
 
-def oracle_mrr(k_candidates: int, n_negative: int = N_EVAL_NEGATIVE) -> float:
-    """Analytic expected MRR of the planted model against uniform
-    type-matched negatives (tie/collision effects ignored)."""
-    p = 1.0 / (k_candidates + 1)
+def expected_rr(q: NDArray[np.float64], n_negative: int = N_EVAL_NEGATIVE):
+    """Expected reciprocal rank of a true entity with a fraction ``q`` of
+    its type scoring strictly higher, against ``n_negative`` uniform
+    type-matched negatives: ``E[1/(1+Binom(n, q))] =
+    (1-(1-q)^(n+1)) / ((n+1) q)``, with the exact limit 1 at ``q=0``."""
+    q = np.asarray(q, np.float64)
+    safe = np.maximum(q, 1e-12)
     n = n_negative + 1
-    return float((1.0 - (1.0 - p) ** n) / (n * p))
+    rr = (1.0 - (1.0 - safe) ** n) / (n * safe)
+    return np.where(q <= 0.0, 1.0, rr)
 
 
 @dataclasses.dataclass
@@ -121,55 +140,123 @@ class PlantedRotatE:
     def rank_against(self, triples, negatives, corrupt: str) -> NDArray[np.int32]:
         """1-based rank of each true triple against its negative pool
         (``corrupt`` = "h" or "t"), worst tie-breaking to match
-        :class:`besskge_tpu.metric.Evaluation`'s default."""
-        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
-        pos = self.score(h, r, t)
-        ranks = np.ones(len(triples), np.int64)
-        for j in range(0, negatives.shape[1], 125):
-            neg = negatives[:, j : j + 125]
-            b, k = neg.shape
-            hh = np.repeat(h, k) if corrupt == "t" else neg.reshape(-1)
-            tt = neg.reshape(-1) if corrupt == "t" else np.repeat(t, k)
-            s = self.score(hh, np.repeat(r, k), tt).reshape(b, k)
-            ranks += (s >= pos[:, None]).sum(1)
-        return ranks.astype(np.int32)
+        :class:`besskge_tpu.metric.Evaluation`'s default. Runs as one
+        jitted dispatch on device-resident tables (only index arrays cross
+        the host boundary)."""
+        import jax.numpy as jnp
+
+        ranks = _planted_rank_kernel(corrupt == "t")(
+            self._e_dev(), self._p_dev(),
+            jnp.asarray(triples.astype(np.int32)),
+            jnp.asarray(negatives.astype(np.int32)),
+        )
+        return np.asarray(ranks, np.int32)
+
+    def _e_dev(self):
+        if getattr(self, "_e_cache", None) is None:
+            import jax.numpy as jnp
+
+            self._e_cache = jnp.asarray(self.entity)
+        return self._e_cache
+
+    def _p_dev(self):
+        if getattr(self, "_p_cache", None) is None:
+            import jax.numpy as jnp
+
+            self._p_cache = jnp.asarray(self.phase)
+        return self._p_cache
 
 
-def _make_argmax_tails():
-    """Build the on-device planted-score argmax picker (jitted ONCE).
-
-    The picker draws each triple's ``k_candidates`` type-matched candidates
-    *on device* from (t_lo, t_n) relation bounds — only (B,) heads/relations
-    cross host→device, not a (B, K) candidate matrix — scores them against
-    the planted model in bf16 over chunks (bounding the B × chunk × 2emb
-    broadcast), and returns the per-triple argmax tail.
-    """
-    import functools
-
+# ---------------------------------------------------------------- device gen
+@functools.lru_cache(maxsize=None)
+def _planted_rank_kernel(corrupt_tail: bool):
+    """Jitted: 1-based worst-tie ranks of true triples vs their negative
+    pools under the planted RotatE scorer, negatives scanned in chunks."""
     import jax
     import jax.numpy as jnp
 
     from besskge_tpu.utils import complex_rotation
 
-    @functools.partial(jax.jit, static_argnums=(7, 8))
-    def pick(e_tab, ph_tab, hh, rr, t_lo, t_n, key, k_candidates, cand_chunk):
+    @jax.jit
+    def ranks(e_tab, ph_tab, triples, negatives):
+        h, r, t = triples[:, 0], triples[:, 1], triples[:, 2]
         hr = complex_rotation(
-            jnp.take(e_tab, hh, axis=0), jnp.take(ph_tab, rr, axis=0)
-        ).astype(jnp.bfloat16)
-        lo = jnp.take(t_lo, rr)
-        n_ty = jnp.take(t_n, rr)
-        n_chunk = (k_candidates + cand_chunk - 1) // cand_chunk
+            jnp.take(e_tab, h, axis=0), jnp.take(ph_tab, r, axis=0)
+        )
+        t_emb = jnp.take(e_tab, t, axis=0)
+        pos = -jnp.abs(hr - t_emb).sum(-1)
+        n_neg = negatives.shape[1]
+        chunk = 100
+        n_chunk = (n_neg + chunk - 1) // chunk
+        pad = n_chunk * chunk - n_neg
+        neg = jnp.pad(negatives, ((0, 0), (0, pad)))
+        neg = jnp.moveaxis(neg.reshape(-1, n_chunk, chunk), 1, 0)
+        valid = (jnp.arange(n_chunk * chunk) < n_neg).reshape(n_chunk, chunk)
 
-        def chunk(carry, ck):
+        def body(acc, xs):
+            ids, ok = xs
+            cand = jnp.take(e_tab, ids, axis=0)  # (B, chunk, 2emb)
+            if corrupt_tail:
+                s = -jnp.abs(hr[:, None, :] - cand).sum(-1)
+            else:
+                cr = complex_rotation(cand, jnp.take(ph_tab, r, axis=0)[:, None, :])
+                s = -jnp.abs(cr - t_emb[:, None, :]).sum(-1)
+            s = jnp.where(ok[None, :], s, -jnp.inf)
+            return acc + (s >= pos[:, None]).sum(1), None
+
+        acc, _ = jax.lax.scan(body, jnp.ones(h.shape, jnp.int32), (neg, valid))
+        return acc
+
+    return ranks
+
+
+@functools.lru_cache(maxsize=None)
+def _type_scan_fns():
+    """Jitted full-type scan kernels, built once.
+
+    ``pick``: Gumbel-max sample from ``p(t) ∝ exp(score(h∘r, t)/T)`` over the
+    contiguous type range ``[lo, lo+n_ty)`` — exact Boltzmann sampling, all
+    candidate scoring on device in bf16 chunks.
+    ``count_better``: within-type quantile counts for calibration.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from besskge_tpu.utils import complex_rotation
+
+    def _hr(e_tab, ph_tab, hh, rr):
+        # fp32 throughout: the fixture's within-type top ranks must agree
+        # with the fp32 PlantedRotatE oracle (bf16 rounding scrambles the
+        # top handful, costing ~0.1 oracle MRR).
+        return complex_rotation(
+            jnp.take(e_tab, hh, axis=0), jnp.take(ph_tab, rr, axis=0)
+        )
+
+    def _chunk_scores(e_tab, hr, lo, off, chunk, n_ty):
+        ids = lo + off + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (off + jnp.arange(chunk, dtype=jnp.int32)) < n_ty
+        emb = jnp.take(e_tab, jnp.minimum(ids, lo + n_ty - 1), axis=0)
+        s = -jnp.abs(hr[:, None, :] - emb[None, :, :]).sum(
+            -1, dtype=jnp.float32
+        )
+        return ids, jnp.where(valid[None, :], s, -jnp.inf)
+
+    @functools.partial(jax.jit, static_argnums=(5, 6, 7))
+    def pick(e_tab, ph_tab, hh, rr, key, lo, n_ty, chunk, temp):
+        hr = _hr(e_tab, ph_tab, hh, rr)
+        n_chunk = (n_ty + chunk - 1) // chunk
+
+        def body(carry, xs):
+            off, ck = xs
             best, best_id = carry
-            u = jax.random.uniform(ck, (hh.shape[0], cand_chunk))
-            c_ids = (lo[:, None] + (u * n_ty[:, None]).astype(jnp.int32)).astype(
-                jnp.int32
+            ids, s = _chunk_scores(e_tab, hr, lo, off, chunk, n_ty)
+            u = jax.random.uniform(
+                ck, s.shape, minval=1e-20, maxval=1.0
             )
-            emb = jnp.take(e_tab, c_ids, axis=0).astype(jnp.bfloat16)
-            s = -jnp.abs(hr[:, None, :] - emb).sum(-1, dtype=jnp.float32)
+            g = -jnp.log(-jnp.log(u))
+            s = s + temp * g
             m = s.max(1)
-            am = jnp.take_along_axis(c_ids, s.argmax(1)[:, None], axis=1)[:, 0]
+            am = ids[s.argmax(1)]
             upd = m > best
             return (jnp.where(upd, m, best), jnp.where(upd, am, best_id)), None
 
@@ -177,61 +264,238 @@ def _make_argmax_tails():
             jnp.full(hh.shape, -jnp.inf, jnp.float32),
             jnp.zeros(hh.shape, jnp.int32),
         )
-        (best, best_id), _ = jax.lax.scan(chunk, init, jax.random.split(key, n_chunk))
+        offs = jnp.arange(n_chunk, dtype=jnp.int32) * chunk
+        (best, best_id), _ = jax.lax.scan(
+            body, init, (offs, jax.random.split(key, n_chunk))
+        )
         return best_id
 
-    return pick
+    @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+    def log_z(e_tab, ph_row, temp, h_lo, h_n, t_lo, t_n, chunk):
+        """Per-head log partition function ``log Σ_t exp(-d(h∘r, t)/T)``
+        over the tail type — the (unnormalized log) head marginal of the
+        relation's Boltzmann coupling. Streaming logsumexp over tail
+        chunks, scanned over head chunks."""
+        n_hc = (h_n + chunk - 1) // chunk
+        n_tc = (t_n + chunk - 1) // chunk
+
+        def head_chunk(_, h_off):
+            h_ids = h_lo + h_off + jnp.arange(chunk, dtype=jnp.int32)
+            h_valid = (h_off + jnp.arange(chunk, dtype=jnp.int32)) < h_n
+            hr = complex_rotation(
+                jnp.take(e_tab, jnp.minimum(h_ids, h_lo + h_n - 1), axis=0),
+                ph_row[None, :],
+            )
+
+            def tail_chunk(carry, t_off):
+                m, s = carry
+                _, sc = _chunk_scores(e_tab, hr, t_lo, t_off, chunk, t_n)
+                x = sc / temp  # (chunk_h, chunk_t)
+                new_m = jnp.maximum(m, x.max(1))
+                s = s * jnp.exp(m - new_m) + jnp.exp(
+                    x - new_m[:, None]
+                ).sum(1)
+                return (new_m, s), None
+
+            init = (
+                jnp.full((chunk,), -jnp.inf, jnp.float32),
+                jnp.zeros((chunk,), jnp.float32),
+            )
+            t_offs = jnp.arange(n_tc, dtype=jnp.int32) * chunk
+            (m, s), _ = jax.lax.scan(tail_chunk, init, t_offs)
+            lz = m + jnp.log(s)
+            return None, jnp.where(h_valid, lz, -jnp.inf)
+
+        h_offs = jnp.arange(n_hc, dtype=jnp.int32) * chunk
+        _, lz = jax.lax.scan(head_chunk, None, h_offs)
+        return lz.reshape(-1)[:h_n]
+
+    @jax.jit
+    def subsampled_log_z(e_tab, ph_row, h_ids, t_ids, temp):
+        """``log Σ_{t∈t_ids} exp(-d(h∘r,t)/T)`` per candidate head — a
+        subsampled estimate of the head marginal, used only to make the
+        calibration probe draw heads the way generation does."""
+        hr = complex_rotation(jnp.take(e_tab, h_ids, axis=0), ph_row[None, :])
+        t_emb = jnp.take(e_tab, t_ids, axis=0)
+        s = -jnp.abs(hr[:, None, :] - t_emb[None, :, :]).sum(-1, dtype=jnp.float32)
+        return jax.scipy.special.logsumexp(s / temp, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=(5, 6, 7))
+    def count_better(e_tab, ph_tab, hh, rr, tt, lo, n_ty, chunk):
+        hr = _hr(e_tab, ph_tab, hh, rr)
+        thr = -jnp.abs(
+            hr.astype(jnp.float32)
+            - jnp.take(e_tab, tt, axis=0).astype(jnp.float32)
+        ).sum(-1)
+        n_chunk = (n_ty + chunk - 1) // chunk
+
+        def body(cnt, off):
+            _, s = _chunk_scores(e_tab, hr, lo, off, chunk, n_ty)
+            return cnt + (s > thr[:, None]).sum(1), None
+
+        offs = jnp.arange(n_chunk, dtype=jnp.int32) * chunk
+        cnt, _ = jax.lax.scan(
+            body, jnp.zeros(hh.shape, jnp.int32), offs
+        )
+        return cnt
+
+    return pick, count_better, log_z, subsampled_log_z
 
 
-_ARGMAX_TAILS = None
+def _calibrate_temperature(
+    e_dev, p_dev, rng, rel_frac, h_lo, h_n, t_lo, t_n, target, chunk,
+    n_eval_negative, n_probe=768,
+):
+    """Bisection on ``log T`` so the planted oracle MRR (quantile-based
+    analytic estimate, :func:`expected_rr`) hits ``target``.
 
-
-def _jax_key(seed: int, part: str):
-    """Deterministic PRNG key for a split's candidate draws."""
+    Probe triples are drawn the way generation draws them: heads from the
+    relation's Boltzmann head marginal (estimated per temperature with a
+    subsampled partition function over ≤2048 head × ≤2048 tail candidates),
+    tails from the exact full-type conditional. A uniform-head probe
+    systematically underestimates the realized oracle (~0.07 at biokg
+    shape), because hub heads — which generate most triples — sit near a
+    tail cluster and rank their sampled tail higher."""
     import jax
+    import jax.numpy as jnp
 
-    part_id = {"train": 1, "valid": 2, "test": 3}.get(part, 9)
-    return jax.random.PRNGKey((seed * 1_000_003 + part_id) & 0x7FFFFFFF)
+    pick, count_better, _, subsampled_log_z = _type_scan_fns()
+    n_relation = len(rel_frac)
+    r_probe = rng.choice(n_relation, size=n_probe, p=rel_frac).astype(np.int32)
+    key = jax.random.PRNGKey(12345)
 
+    sub_cap = 2048
+    rel_cand: Dict[int, Tuple[NDArray, NDArray]] = {}
+    for rid in np.unique(r_probe):
+        hc = min(int(h_n[rid]), sub_cap)
+        tc = min(int(t_n[rid]), sub_cap)
+        rel_cand[int(rid)] = (
+            (h_lo[rid] + rng.choice(h_n[rid], size=hc, replace=False)).astype(np.int32),
+            (t_lo[rid] + rng.choice(t_n[rid], size=tc, replace=False)).astype(np.int32),
+        )
 
-def _split_key(key):
-    import jax
+    groups = []
+    for lo, n_ty in sorted({(int(t_lo[r]), int(t_n[r])) for r in r_probe}):
+        m = (t_lo[r_probe] == lo) & (t_n[r_probe] == n_ty)
+        groups.append((np.where(m)[0], lo, n_ty))
 
-    k1, k2 = jax.random.split(key)
-    return k1, k2
+    def oracle(log_t):
+        nonlocal key
+        temp = math.exp(log_t)
+        # Heads ~ subsampled marginal (per relation, at this temperature).
+        h_probe = np.empty(n_probe, np.int32)
+        for rid, (h_cand, t_cand) in rel_cand.items():
+            m = np.where(r_probe == rid)[0]
+            lz = np.asarray(
+                subsampled_log_z(
+                    e_dev, p_dev[rid], jnp.asarray(h_cand),
+                    jnp.asarray(t_cand), temp,
+                ),
+                np.float64,
+            )
+            p = np.exp(lz - lz.max())
+            h_probe[m] = h_cand[rng.choice(h_cand.size, size=m.size, p=p / p.sum())]
+        rr = np.empty(n_probe)
+        for idx, lo, n_ty in groups:
+            key, sub = jax.random.split(key)
+            hh = jnp.asarray(h_probe[idx])
+            rr_ids = jnp.asarray(r_probe[idx])
+            tt = pick(e_dev, p_dev, hh, rr_ids, sub, lo, n_ty, chunk, temp)
+            cnt = np.asarray(
+                count_better(e_dev, p_dev, hh, rr_ids, tt, lo, n_ty, chunk)
+            )
+            # Negatives are uniform over the type minus the true entity.
+            q = cnt / max(n_ty - 1, 1)
+            rr[idx] = expected_rr(q, n_eval_negative)
+        return float(rr.mean())
 
-
-def _argmax_tails(entity, phase, h, r, t_lo, t_n, key, k_candidates,
-                  cand_chunk: int = 256):
-    """Planted-score argmax over on-device-drawn candidates (see
-    :func:`_make_argmax_tails`); returns the (B,) chosen tails."""
-    global _ARGMAX_TAILS
-    if _ARGMAX_TAILS is None:
-        _ARGMAX_TAILS = _make_argmax_tails()
-    return np.asarray(
-        _ARGMAX_TAILS(entity, phase, h, r, t_lo, t_n, key, k_candidates, cand_chunk)
-    )
+    lo_t, hi_t = math.log(1e-3), math.log(30.0)
+    est = None
+    # Oracle MRR decreases in T.
+    for _ in range(14):
+        mid = 0.5 * (lo_t + hi_t)
+        est = oracle(mid)
+        if abs(est - target) < 0.004:
+            return math.exp(mid), est
+        if est > target:
+            lo_t = mid
+        else:
+            hi_t = mid
+    mid = 0.5 * (lo_t + hi_t)
+    return math.exp(mid), oracle(mid)
 
 
 def build_biokg_fixture(
     seed: int = 0,
     scale: float = 1.0,
-    k_candidates: int = 1280,
+    target_oracle: float = 0.86,
+    temperature: Optional[float] = None,
+    cluster_size: int = 48,
+    cluster_noise: float = 0.35,
+    chunk: int = 512,
     batch: int = 4096,
     n_eval_negative: int = N_EVAL_NEGATIVE,
     return_planted: bool = False,
+    cache_dir: Optional[str] = None,
 ):
     """Build the biokg-like fixture dataset (see module docstring).
 
     :param scale: shrink factor for entity-type sizes and split sizes
-        (tests use e.g. ``0.01``; quality runs use ``1.0``).
-    :param k_candidates: per-triple candidate-set size for the planted
-        argmax; controls the oracle MRR ceiling (:func:`oracle_mrr`).
-    :param batch: triples scored per device dispatch during generation.
+        (tests use e.g. ``0.02``; quality runs use ``1.0``).
+    :param target_oracle: calibrate the Boltzmann temperature so the planted
+        model's analytic MRR vs ``n_eval_negative`` type-matched negatives
+        hits this ceiling (ignored when ``temperature`` is given).
+    :param temperature: fixed Boltzmann temperature (skips calibration).
+    :param cluster_size: target entities per planted cluster.
+    :param cluster_noise: uniform half-width of within-cluster noise
+        (cluster centers are uniform in [-1, 1]).
+    :param chunk: tail-type candidates scored per scan step on device.
+    :param batch: triples sampled per device dispatch.
     :param return_planted: also return the :class:`PlantedRotatE` generator
-        (for oracle-MRR measurement).
+        and metadata (for oracle-MRR measurement).
+    :param cache_dir: directory for a generation cache keyed on the
+        build parameters — full-scale generation costs minutes on TPU, and
+        the output is deterministic in them (per backend).
     """
+    import jax
     import jax.numpy as jnp
+
+    cache = None
+    if cache_dir is not None:
+        import pathlib
+
+        key = (
+            f"biokg_s{seed}_sc{scale}_t{temperature or target_oracle}"
+            f"_c{cluster_size}_n{cluster_noise}_neg{n_eval_negative}"
+        ).replace(".", "p")
+        cache = pathlib.Path(cache_dir) / f"{key}.npz"
+        if cache.exists():
+            z = np.load(cache, allow_pickle=False)
+            ds = KGDataset(
+                n_entity=int(z["n_entity"]),
+                n_relation_type=int(z["n_relation"]),
+                entity_dict=None,
+                relation_dict=list(z["relation_dict"]),
+                type_offsets={
+                    str(k): int(v)
+                    for k, v in zip(z["type_names"], z["type_offs"])
+                },
+                triples={p: z[f"tri_{p}"] for p in ("train", "valid", "test")},
+                original_triple_ids={
+                    p: np.arange(len(z[f"tri_{p}"]), dtype=np.int64)
+                    for p in ("train", "valid", "test")
+                },
+                neg_heads={p: z[f"nh_{p}"] for p in ("valid", "test")},
+                neg_tails={p: z[f"nt_{p}"] for p in ("valid", "test")},
+            )
+            if not return_planted:
+                return ds
+            planted = PlantedRotatE(entity=z["ent"], phase=z["phase"])
+            planted.temperature = float(z["temp"])  # type: ignore[attr-defined]
+            planted.oracle_estimate = (  # type: ignore[attr-defined]
+                float(z["oracle_est"]) if z["oracle_est"] >= 0 else None
+            )
+            return ds, planted
 
     emb = 64
     rng = np.random.default_rng(seed)
@@ -248,9 +512,22 @@ def build_biokg_fixture(
     spec = _relation_spec()
     n_relation = len(spec)
 
+    # Clustered planted entities: type = mixture of uniform clusters.
+    entity = np.empty((n_entity, 2 * emb), np.float32)
+    for ty, n_ty in counts.items():
+        lo = type_offsets[ty]
+        n_cl = max(2, n_ty // cluster_size)
+        centers = rng.uniform(-1.0, 1.0, size=(n_cl, 2 * emb))
+        assign = rng.integers(n_cl, size=n_ty)
+        entity[lo : lo + n_ty] = (
+            centers[assign]
+            + rng.uniform(-cluster_noise, cluster_noise, size=(n_ty, 2 * emb))
+        ).astype(np.float32)
     planted = PlantedRotatE(
-        entity=rng.uniform(-1.0, 1.0, size=(n_entity, 2 * emb)).astype(np.float32),
-        phase=rng.uniform(0.0, 2 * np.pi, size=(n_relation, emb)).astype(np.float32),
+        entity=entity,
+        phase=rng.uniform(0.0, 2 * np.pi, size=(n_relation, emb)).astype(
+            np.float32
+        ),
     )
     e_dev = jnp.asarray(planted.entity)
     p_dev = jnp.asarray(planted.phase)
@@ -265,34 +542,67 @@ def build_biokg_fixture(
     t_lo = np.array([type_offsets[t] for _, t, _ in spec], np.int64)
     t_n = np.array([counts[t] for _, t, _ in spec], np.int64)
 
+    if temperature is None:
+        temperature, oracle_est = _calibrate_temperature(
+            e_dev, p_dev, np.random.default_rng(seed + 999), rel_frac,
+            h_lo, h_n, t_lo, t_n, target_oracle, chunk, n_eval_negative,
+        )
+    else:
+        oracle_est = None
+
+    pick, _, log_z, _ = _type_scan_fns()
+    key = jax.random.PRNGKey(seed & 0x7FFFFFFF)
+
+    # Per-relation head marginal p(h) ∝ Z_h(r) of the Boltzmann coupling
+    # (heads that rotate near the tail cloud generate more triples — the
+    # fixture's hub structure). Sampling (h ~ marginal, t ~ conditional)
+    # draws the PAIR from p(h,t) ∝ exp(-d(h∘r,t)/T), so BOTH eval
+    # directions rank the truth by the same concentrated posterior.
+    head_pmf: Dict[int, NDArray[np.float64]] = {}
+
+    def _head_pmf(rid: int) -> NDArray[np.float64]:
+        if rid not in head_pmf:
+            lz = np.asarray(
+                log_z(
+                    e_dev, p_dev[rid], temperature,
+                    int(h_lo[rid]), int(h_n[rid]),
+                    int(t_lo[rid]), int(t_n[rid]), chunk,
+                ),
+                np.float64,
+            )
+            p = np.exp(lz - lz.max())
+            head_pmf[rid] = p / p.sum()
+        return head_pmf[rid]
+
     triples: Dict[str, NDArray[np.int32]] = {}
     neg_heads: Dict[str, NDArray[np.int32]] = {}
     neg_tails: Dict[str, NDArray[np.int32]] = {}
     for part, n_part in zip(("train", "valid", "test"), split_sizes):
         r_all = rng.choice(n_relation, size=n_part, p=rel_frac).astype(np.int32)
-        h_all = (
-            h_lo[r_all] + rng.integers(0, h_n[r_all], endpoint=False)
-        ).astype(np.int32)
+        h_all = np.empty(n_part, np.int32)
+        for rid in np.unique(r_all):
+            m = np.where(r_all == rid)[0]
+            h_all[m] = h_lo[rid] + rng.choice(
+                h_n[rid], size=m.size, p=_head_pmf(int(rid))
+            ).astype(np.int32)
         t_all = np.empty(n_part, np.int32)
-        t_lo_dev = jnp.asarray(t_lo, jnp.int32)
-        t_n_dev = jnp.asarray(t_n, jnp.int32)
-        key = _jax_key(seed, part)
-        for i in range(0, n_part, batch):
-            s = slice(i, min(i + batch, n_part))
-            # Candidates are drawn on device (uniform type-matched, with
-            # replacement): a full-split candidate matrix would be tens of
-            # GB of host RAM / host→device traffic at scale 1. Last batch
-            # is padded to `batch` so the picker compiles exactly once.
-            hh = h_all[s]
-            pad = batch - hh.size
-            key, sub = _split_key(key)
-            picked = _argmax_tails(
-                e_dev, p_dev,
-                jnp.asarray(np.pad(hh, (0, pad), mode="edge")),
-                jnp.asarray(np.pad(r_all[s], (0, pad), mode="edge")),
-                t_lo_dev, t_n_dev, sub, k_candidates,
-            )
-            t_all[s] = picked[: hh.size]
+        # Group triples by tail type: each group's full-type Boltzmann scan
+        # has a static (lo, n_ty) so the picker compiles once per type.
+        for lo, n_ty in sorted({(int(t_lo[r]), int(t_n[r])) for r in r_all}):
+            m = np.where((t_lo[r_all] == lo) & (t_n[r_all] == n_ty))[0]
+            for i in range(0, m.size, batch):
+                idx = m[i : i + batch]
+                pad = batch - idx.size
+                key, sub = jax.random.split(key)
+                picked = np.asarray(
+                    pick(
+                        e_dev, p_dev,
+                        jnp.asarray(np.pad(h_all[idx], (0, pad), mode="edge")),
+                        jnp.asarray(np.pad(r_all[idx], (0, pad), mode="edge")),
+                        sub, lo, n_ty, chunk, temperature,
+                    )
+                )
+                t_all[idx] = picked[: idx.size]
         triples[part] = np.stack([h_all, r_all, t_all], axis=1)
         if part == "train":
             continue
@@ -331,4 +641,25 @@ def build_biokg_fixture(
         neg_heads=neg_heads,
         neg_tails=neg_tails,
     )
-    return (ds, planted) if return_planted else ds
+    if cache is not None:
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            cache,
+            n_entity=n_entity,
+            n_relation=n_relation,
+            relation_dict=np.asarray(ds.relation_dict),
+            type_names=np.asarray(sorted(counts)),
+            type_offs=np.asarray([type_offsets[k] for k in sorted(counts)]),
+            ent=planted.entity,
+            phase=planted.phase,
+            temp=temperature,
+            oracle_est=-1.0 if oracle_est is None else oracle_est,
+            **{f"tri_{p}": triples[p] for p in triples},
+            **{f"nh_{p}": neg_heads[p] for p in neg_heads},
+            **{f"nt_{p}": neg_tails[p] for p in neg_tails},
+        )
+    if return_planted:
+        planted.temperature = temperature  # type: ignore[attr-defined]
+        planted.oracle_estimate = oracle_est  # type: ignore[attr-defined]
+        return ds, planted
+    return ds

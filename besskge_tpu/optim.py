@@ -46,11 +46,19 @@ def _apply_rows(
     this is the in-place Pallas DMA kernel (no table-sized copy — XLA's
     scatter copies the whole table otherwise).
 
-    Only 32-bit tables take the kernel: Mosaic's packed (2,1) sublane
-    tiling cannot express single-row slices of 16-bit HBM memrefs (and a
-    uint32 bitcast is a physical shuffle on TPU, not a free view). 16-bit
-    tables fall back to the XLA scatter — prefer fp32 tables for
-    sparse-update-heavy training; use bf16 for inference/capacity."""
+    Mosaic's packed (2, 1) sublane tiling cannot express single-row slices
+    of 16-bit HBM memrefs, so bf16 tables take the kernel via the row-pair
+    int32 storage of :mod:`besskge_tpu.packed` — the logical writes here
+    are first merged into byte-identical packed-row writes. A PLAIN bf16
+    table (non-packed storage) still falls back to the XLA full-copy
+    scatter; prefer packed storage for sparse-update-heavy bf16 training.
+    """
+    from besskge_tpu.packed import is_packed, merge_packed_row_writes
+
+    if is_packed(_flat(table)):
+        idx, rows = merge_packed_row_writes(table, idx, rows)
+    else:
+        rows = rows.astype(table.dtype)
     if (
         jax.default_backend() == "tpu"
         and table.shape[-1] % 128 == 0
@@ -58,10 +66,31 @@ def _apply_rows(
     ):
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
-        return scatter_rows(table, idx, rows.astype(table.dtype))
+        return scatter_rows(table, idx, rows)
     if table.ndim == 3:
-        return table.at[0, idx].set(rows.astype(table.dtype))
-    return table.at[idx].set(rows.astype(table.dtype))
+        return table.at[0, idx].set(rows)
+    return table.at[idx].set(rows)
+
+
+def _read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """fp32 values of the touched logical rows (packed-storage aware)."""
+    from besskge_tpu.packed import take_rows
+
+    return take_rows(_flat(table), idx).astype(jnp.float32)
+
+
+def _moment_shape(table: jnp.ndarray) -> Tuple[int, int]:
+    """Shape of a per-logical-row fp32 moment buffer for ``table``.
+
+    Packed bf16 tables store two logical rows per int32 row, but moments
+    stay UNPACKED fp32 — (2 · packed_rows, width) — so moment reads/writes
+    use plain logical indices and the direct row-scatter kernel."""
+    from besskge_tpu.packed import is_packed
+
+    t = _flat(table)
+    if is_packed(t):
+        return (2 * t.shape[0], t.shape[1])
+    return table.shape
 
 
 class EntityRowOptimizer:
@@ -129,8 +158,8 @@ class RowAdamW(EntityRowOptimizer):
 
     def init(self, table):
         return {
-            "mu": jnp.zeros(table.shape, jnp.float32),
-            "nu": jnp.zeros(table.shape, jnp.float32),
+            "mu": jnp.zeros(_moment_shape(table), jnp.float32),
+            "nu": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
 
@@ -144,11 +173,11 @@ class RowAdamW(EntityRowOptimizer):
         t = count.astype(jnp.float32)
         mu_hat = mu_rows / (1 - self.b1**t)
         nu_hat = nu_rows / (1 - self.b2**t)
-        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
+        p_rows = _read_rows(table, idx)
         upd = self.learning_rate * (
             mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p_rows
         )
-        new_rows = (p_rows - upd).astype(table.dtype)
+        new_rows = p_rows - upd  # dtype handled by _apply_rows (packed-aware)
         return (
             _apply_rows(table, idx, new_rows),
             {
@@ -172,13 +201,13 @@ class RowSGDM(EntityRowOptimizer):
         if self.momentum == 0.0:
             return {"count": jnp.zeros((), jnp.int32)}
         return {
-            "m": jnp.zeros(table.shape, jnp.float32),
+            "m": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
 
     def update_rows(self, table, state, idx, grad_rows):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
-        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
+        p_rows = _read_rows(table, idx)
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
         new_state = dict(state, count=state["count"] + 1)
@@ -186,7 +215,7 @@ class RowSGDM(EntityRowOptimizer):
             m_rows = self.momentum * jnp.take(_flat(state["m"]), idx, axis=0) + g
             new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
-        new_rows = (p_rows - self.learning_rate * g).astype(table.dtype)
+        new_rows = p_rows - self.learning_rate * g  # dtype in _apply_rows
         return _apply_rows(table, idx, new_rows), new_state
 
 
@@ -199,17 +228,17 @@ class RowAdagrad(EntityRowOptimizer):
 
     def init(self, table):
         return {
-            "acc": jnp.zeros(table.shape, jnp.float32),
+            "acc": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
 
     def update_rows(self, table, state, idx, grad_rows):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
         acc_rows = jnp.take(_flat(state["acc"]), idx, axis=0) + g * g
-        p_rows = jnp.take(_flat(table), idx, axis=0).astype(jnp.float32)
+        p_rows = _read_rows(table, idx)
         new_rows = (
             p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
-        ).astype(table.dtype)
+        )  # dtype handled by _apply_rows (packed-aware)
         return (
             _apply_rows(table, idx, new_rows),
             {

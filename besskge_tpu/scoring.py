@@ -104,6 +104,12 @@ class BaseScoreFunction(ABC):
     #: Mesh axis name set by the BESS module wrapping this score function
     #: (``None`` outside shard_map); used by cross-shard ops like SyncBN.
     mesh_axis: Any = None
+    #: Store the entity table in row-pair-packed bf16 (int32 storage, half
+    #: the HBM of fp32 — the reference's fp16 capacity recipe, notebook 3)
+    #: while keeping full-speed in-place sparse updates; requires an
+    #: :class:`~besskge_tpu.optim.EntityRowOptimizer` for training. See
+    #: :mod:`besskge_tpu.packed`. Set before ``initial_params*``.
+    packed_entity_storage: bool = False
 
     def _build_tables(
         self,
@@ -142,10 +148,20 @@ class BaseScoreFunction(ABC):
         a full-table relayout copy at every Pallas row update.)"""
         ent_init, ent_slices = self._entity_spec
         rel_init, rel_slices = self._relation_spec
-        return {
-            "entity_embedding": initialize_entity_embedding(
+        ent = (
+            initialize_entity_embedding(
                 self.sharding, ent_init, ent_slices, seed=self.seed
-            ).astype(self.dtype, copy=False).reshape(-1, self.entity_row_size),
+            )
+            .astype(self.dtype, copy=False)
+            .reshape(-1, self.entity_row_size)
+        )
+        if self.packed_entity_storage:
+            from besskge_tpu.packed import pack_table_host
+
+            assert self.sharding.max_entity_per_shard % 2 == 0
+            ent = pack_table_host(ent)
+        return {
+            "entity_embedding": ent,
             "relation_embedding": initialize_relation_embedding(
                 self.n_relation_type,
                 self.inverse_relations,
@@ -179,15 +195,30 @@ class BaseScoreFunction(ABC):
             NamedSharding(mesh, P("shard")) if mesh is not None else None
         )
         rel_sharding = NamedSharding(mesh, P()) if mesh is not None else None
+        ent = device_table_init(
+            self._entity_spec[0],
+            self._entity_spec[1],
+            ent_shape,
+            self.seed,
+            self.dtype,
+            ent_sharding,
+        )
+        if self.packed_entity_storage:
+            from besskge_tpu.packed import pack_table
+
+            # Shard blocks have an even row count (Sharding.create), so the
+            # global row-pair pack never crosses a shard boundary and GSPMD
+            # keeps it collective-free.
+            assert self.sharding.max_entity_per_shard % 2 == 0
+            pack = jax.jit(
+                pack_table,
+                out_shardings=(
+                    NamedSharding(mesh, P("shard")) if mesh is not None else None
+                ),
+            )
+            ent = pack(ent)
         params = {
-            "entity_embedding": device_table_init(
-                self._entity_spec[0],
-                self._entity_spec[1],
-                ent_shape,
-                self.seed,
-                self.dtype,
-                ent_sharding,
-            ),
+            "entity_embedding": ent,
             "relation_embedding": device_table_init(
                 self._relation_spec[0],
                 self._relation_spec[1],
@@ -214,16 +245,28 @@ class BaseScoreFunction(ABC):
     def update_sharding(self, params: Params, new_sharding: Sharding) -> Params:
         """Re-shard a (trained) entity table to a new device topology
         (reference ``besskge/scoring.py:126-142``)."""
-        table = np.asarray(params["entity_embedding"]).reshape(
+        raw = np.asarray(params["entity_embedding"])
+        packed = np.issubdtype(raw.dtype, np.integer)
+        if packed:
+            from besskge_tpu.packed import pack_table_host, unpack_table_host
+
+            raw = unpack_table_host(
+                raw, self.sharding.n_shard * self.sharding.max_entity_per_shard
+            )
+        table = raw.reshape(
             self.sharding.n_shard, self.sharding.max_entity_per_shard, -1
         )
         new_table = refactor_embedding_sharding(
             table.astype(np.float32), self.sharding, new_sharding
         ).astype(table.dtype)
         self.sharding = new_sharding
+        new_table = new_table.reshape(-1, new_table.shape[-1])
+        if packed:
+            assert new_sharding.max_entity_per_shard % 2 == 0
+            new_table = pack_table_host(new_table)
         return {
             **params,
-            "entity_embedding": new_table.reshape(-1, new_table.shape[-1]),
+            "entity_embedding": new_table,
         }
 
     def relation_embedding(

@@ -84,6 +84,10 @@ class Sharding:
         """
         rng = np.random.default_rng(seed)
         rows = int(np.ceil(n_entity / n_shard))
+        # Keep the per-shard row count even so row-pair-packed bf16 tables
+        # (:mod:`besskge_tpu.packed`) tile shards without splitting a pair;
+        # costs at most one extra padding slot per shard.
+        rows += rows & 1
         # Random split: permute the padded ID range, one row of `rows` IDs per
         # shard, then sort each row so local order preserves global order
         # (keeps type clustering within shards).

