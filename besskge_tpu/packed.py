@@ -78,6 +78,33 @@ def _flat(table: jnp.ndarray) -> jnp.ndarray:
     return table[0] if table.ndim == 3 else table
 
 
+def _pair_words(x16: jnp.ndarray) -> jnp.ndarray:
+    """(…, 2W) bf16 → (…, W) int32, word w = (elem 2w | elem 2w+1 << 16).
+
+    Uses uint16 lane shuffles + integer math instead of a
+    ``bitcast(reshape(…, W, 2))``: on TPU that reshape materializes a
+    minor-dim-2 intermediate whose (8, 128) tiling pads 2 → 128 — a 64×
+    memory blow-up (an 82 GB temp at wikikg2 scale). Little-endian order
+    matches numpy's ``.view(int32)`` exactly.
+    """
+    u = jax.lax.bitcast_convert_type(
+        x16.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u[..., 0::2] | (u[..., 1::2] << 16), jnp.int32
+    )
+
+
+def _unpair_words(words: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_pair_words`: (…, W) int32 → (…, 2W) bf16."""
+    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    hi = (u >> 16).astype(jnp.uint16)
+    out = jnp.zeros((*words.shape[:-1], 2 * words.shape[-1]), jnp.uint16)
+    out = out.at[..., 0::2].set(lo).at[..., 1::2].set(hi)
+    return jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+
+
 def pack_table(table: jnp.ndarray) -> jnp.ndarray:
     """Pack a logical ``(N, D)`` float table into int32 ``(ceil(N/2), D)``.
 
@@ -88,17 +115,14 @@ def pack_table(table: jnp.ndarray) -> jnp.ndarray:
     x = table.astype(jnp.bfloat16)
     if n % 2:
         x = jnp.concatenate([x, jnp.zeros((1, d), jnp.bfloat16)])
-    return jax.lax.bitcast_convert_type(
-        x.reshape(-1, 2 * d).reshape(-1, d, 2), jnp.int32
-    )
+    return _pair_words(x.reshape(-1, 2 * d))
 
 
 def unpack_table(packed: jnp.ndarray, n_logical: int) -> jnp.ndarray:
     """Inverse of :func:`pack_table` → bf16 ``(n_logical, D)``."""
     p = _flat(packed)
     d = p.shape[-1]
-    x = jax.lax.bitcast_convert_type(p, jnp.bfloat16).reshape(-1, 2, d)
-    return x.reshape(-1, d)[:n_logical]
+    return _unpair_words(p).reshape(-1, d)[:n_logical]
 
 
 def pack_table_host(table: np.ndarray) -> np.ndarray:
@@ -141,7 +165,7 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     shape = idx.shape
     flat = idx.reshape(-1)
     pair = jnp.take(t, flat >> 1, axis=0)  # (R, D) int32 = 2 rows
-    both = jax.lax.bitcast_convert_type(pair, jnp.bfloat16).reshape(-1, 2, d)
+    both = _unpair_words(pair).reshape(-1, 2, d)
     rows = jnp.take_along_axis(
         both, (flat & 1).astype(jnp.int32)[:, None, None], axis=1
     )[:, 0]
@@ -175,9 +199,7 @@ def merge_packed_row_writes(
     # the other half is zero. Word k of a packed row covers logical elements
     # [2k, 2k+1] of the flattened row pair: words [0, D/2) are row 2p,
     # words [D/2, D) are row 2p+1.
-    words = jax.lax.bitcast_convert_type(
-        rows.astype(jnp.bfloat16).reshape(r, half, 2), jnp.int32
-    )  # (R, D/2) int32 words of the new logical row
+    words = _pair_words(rows)  # (R, D/2) int32 words of the new logical row
     lane = jnp.arange(d, dtype=jnp.int32)[None, :]
     owned = (lane >= h[:, None] * half) & (lane < (h[:, None] + 1) * half)
     src = jnp.clip(lane - h[:, None] * half, 0, half - 1)

