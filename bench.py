@@ -11,14 +11,20 @@ Prints one JSON line per config (biokg first):
    14-24): 2.5M-entity table, TransE d=128 bf16-compute, SSCE, 32 flat
    negatives + sharing + in-batch augmentation, shard_bs 512 x 8, sparse
    row-wise SGDM. Reference: ~4.3M pos triples/s on 4 IPUs = 1.08M/s/chip.
+3. **wikikg2_bf16** — same, with the entity table itself stored
+   row-pair-packed bf16 (half the fp32 HBM; `besskge_tpu.packed`).
 
-Honest timing: batches are assembled by the background host sampler thread
-(`get_dataloader`) DURING the timed loop and transferred per step — the
-number includes host sampling + H2D, not just device compute. Each line
-also reports MFU and HBM-bandwidth utilization derived from the compiled
-step's XLA cost analysis over the measured step time, and a real-TPU
-numerics self-test of the in-place Pallas kernels runs first (they are
-CPU-gated in CI, so the bench asserts them on hardware).
+The primary number is the TPU-native configuration: the WHOLE batch —
+positives and negatives — is drawn inside the jitted step by
+:class:`besskge_tpu.device_sampler.DeviceBatchSampler` (the triple array is
+device-resident; the host feeds one PRNG key per call), so the measured
+step includes sampling, gather, score, loss, backward and optimizer — there
+is no host input pipeline to hide or to stall on. Each line also reports
+the host-pipeline variant (numpy sampler thread + per-step H2D, the
+reference's architecture) and its input-stall share, plus MFU / HBM-
+bandwidth utilization from the compiled step's XLA cost analysis. A
+real-TPU numerics self-test of the in-place Pallas kernels runs first
+(they are CPU-gated in CI, so the bench asserts them on hardware).
 """
 
 import json
@@ -35,16 +41,19 @@ CONFIGS = {
     "biokg": dict(
         metric="biokg_rotate_train_pos_triples_per_s_per_chip",
         baseline=0.92e6,  # 1-IPU reference rate
+        steps_per_call=10,
     ),
     "wikikg2": dict(
         metric="wikikg2_transe_sparse_train_pos_triples_per_s_per_chip",
         baseline=4.3e6 / 4,  # per-chip of the 4-IPU reference rate
+        steps_per_call=1,  # sparse in-place updates can't scan (aliasing)
     ),
     # Storage parity with the reference fp16 recipe: the 2.5M-entity table
     # held in row-pair-packed bf16 (half the HBM), sparse in-place updates.
     "wikikg2_bf16": dict(
         metric="wikikg2_transe_bf16table_train_pos_triples_per_s_per_chip",
         baseline=4.3e6 / 4,
+        steps_per_call=1,
     ),
 }
 
@@ -58,6 +67,7 @@ def _tpu_kernel_selftest() -> None:
     if jax.default_backend() != "tpu":
         return
     from besskge_tpu.ops.pallas_adamw import dense_adamw_update
+    from besskge_tpu.ops.pallas_distance import l1_distance_grads
     from besskge_tpu.ops.pallas_scatter import scatter_rows
 
     rng = np.random.default_rng(0)
@@ -90,7 +100,22 @@ def _tpu_kernel_selftest() -> None:
     np.testing.assert_allclose(np.asarray(new_nu), nu_w, rtol=1e-6, atol=1e-9)
     # TPU rsqrt is a fast approximation — allow ~1e-4 relative on the param.
     np.testing.assert_allclose(np.asarray(new_p), p_w, rtol=3e-4, atol=1e-5)
-    print("# pallas in-place kernels: TPU numerics OK", file=sys.stderr)
+
+    # Fused L1-distance backward (VMEM-tiled sign reductions).
+    a = rng.normal(size=(96, 128)).astype(np.float32)
+    b = rng.normal(size=(200, 128)).astype(np.float32)
+    gg = rng.normal(size=(96, 200)).astype(np.float32)
+    da, db = jax.jit(l1_distance_grads)(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(gg)
+    )
+    sgn = np.sign(a[:, None, :] - b[None, :, :])
+    np.testing.assert_allclose(
+        np.asarray(da), (gg[:, :, None] * sgn).sum(1), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(db), -(gg[:, :, None] * sgn).sum(0), rtol=1e-5, atol=1e-4
+    )
+    print("# pallas kernels: TPU numerics OK", file=sys.stderr)
 
 
 def _make_dataset(n_entity, n_relation, n_train):
@@ -123,11 +148,16 @@ def _setup_biokg():
 
     from besskge_tpu.batch_sampler import RandomShardedBatchSampler
     from besskge_tpu.bess import EmbeddingMovingBessKGE
+    from besskge_tpu.device_sampler import DeviceBatchSampler
     from besskge_tpu.loss import LogSigmoidLoss
     from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
     from besskge_tpu.scoring import RotatE
     from besskge_tpu.sharding import PartitionedTripleSet, Sharding
-    from besskge_tpu.trainer import build_train_step, init_optimizer_state
+    from besskge_tpu.trainer import (
+        build_device_train_step,
+        build_train_step,
+        init_optimizer_state,
+    )
 
     shard_bs, bps = 240, 48
     ds = _make_dataset(93_773, 51, 4_762_678)
@@ -140,8 +170,6 @@ def _setup_biokg():
     ns = RandomShardedNegativeSampler(
         1, sharding, 0, "ht", local_sampling=False, flat_negative_format=True
     )
-    bs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
-                                   batches_per_step=bps, seed=0)
     bess = EmbeddingMovingBessKGE(
         negative_sampler=ns, score_fn=score_fn,
         loss_fn=LogSigmoidLoss(margin=12.0, negative_adversarial_sampling=True),
@@ -153,8 +181,21 @@ def _setup_biokg():
     optimizer = optax.adamw(1e-3)
     params = score_fn.initial_params_device()
     opt_state = init_optimizer_state(optimizer, params, None)
-    step_fn = build_train_step(bess, optimizer, None)
-    return step_fn, params, opt_state, bs, shard_bs * bps
+
+    spc = CONFIGS["biokg"]["steps_per_call"]
+    dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
+                             batches_per_step=bps, seed=0)
+    dstep = build_device_train_step(
+        bess, optimizer, dev, None, steps_per_call=spc
+    )
+    hstep = build_train_step(bess, optimizer, None)
+    hbs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
+                                    batches_per_step=bps, seed=0)
+    return dict(
+        dstep=dstep, dev=dev, hstep=hstep, hbs=hbs,
+        params=params, opt_state=opt_state,
+        pos_per_step=shard_bs * bps,
+    )
 
 
 def _setup_wikikg2(bf16_table: bool = False):
@@ -163,12 +204,17 @@ def _setup_wikikg2(bf16_table: bool = False):
 
     from besskge_tpu.batch_sampler import RandomShardedBatchSampler
     from besskge_tpu.bess import EmbeddingMovingBessKGE
+    from besskge_tpu.device_sampler import DeviceBatchSampler
     from besskge_tpu.loss import SampledSoftmaxCrossEntropyLoss
     from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
     from besskge_tpu.optim import RowSGDM
     from besskge_tpu.scoring import TransE
     from besskge_tpu.sharding import PartitionedTripleSet, Sharding
-    from besskge_tpu.trainer import build_train_step, init_optimizer_state
+    from besskge_tpu.trainer import (
+        build_device_train_step,
+        build_train_step,
+        init_optimizer_state,
+    )
 
     shard_bs, bps = 512, 8
     ds = _make_dataset(2_500_604, 535, 1_000_000)
@@ -190,8 +236,6 @@ def _setup_wikikg2(bf16_table: bool = False):
     ns = RandomShardedNegativeSampler(
         32, sharding, 0, "ht", local_sampling=False, flat_negative_format=True
     )
-    bs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
-                                   batches_per_step=bps, seed=0)
     bess = EmbeddingMovingBessKGE(
         negative_sampler=ns, score_fn=score_fn,
         loss_fn=SampledSoftmaxCrossEntropyLoss(n_entity=ds.n_entity),
@@ -201,14 +245,26 @@ def _setup_wikikg2(bf16_table: bool = False):
     row = RowSGDM(learning_rate=1e-3, momentum=0.9)
     params = score_fn.initial_params_device()
     opt_state = init_optimizer_state(opt, params, None, row)
-    step_fn = build_train_step(bess, opt, None, row)
-    return step_fn, params, opt_state, bs, shard_bs * bps
+
+    dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
+                             batches_per_step=bps, seed=0)
+    dstep = build_device_train_step(
+        bess, opt, dev, None, entity_optimizer=row, steps_per_call=1
+    )
+    hstep = build_train_step(bess, opt, None, row)
+    hbs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
+                                    batches_per_step=bps, seed=0)
+    return dict(
+        dstep=dstep, dev=dev, hstep=hstep, hbs=hbs,
+        params=params, opt_state=opt_state,
+        pos_per_step=shard_bs * bps,
+    )
 
 
-def _cost_fields(step_fn, params, opt_state, batch, step_s):
+def _cost_fields(lowerable, step_s, *args):
     """MFU / HBM utilization from the compiled step's XLA cost analysis."""
     try:
-        cost = step_fn.lower(params, opt_state, batch).compile().cost_analysis()
+        cost = lowerable.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -244,49 +300,71 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
         "wikikg2": _setup_wikikg2,
         "wikikg2_bf16": lambda: _setup_wikikg2(bf16_table=True),
     }[name]
-    step_fn, params, opt_state, bs, pos_per_step = setup()
-    loader = _device_prefetch(
-        bs.get_dataloader(shuffle=True, prefetch=4, repeat=True)
-    )
+    cfg = CONFIGS[name]
+    spc = cfg["steps_per_call"]
+    s = setup()
+    pos_per_step = s["pos_per_step"]
 
-    # Warm-up/compile. NB: fetch the value — on remote-attached backends
-    # block_until_ready can return before execution completes.
-    first = next(loader)
-    params, opt_state, out = step_fn(params, opt_state, first)
-    loss = float(out["loss"])
+    # ---- primary: on-device sampling — the TPU-native configuration ----
+    dev, dstep = s["dev"], s["dstep"]
+    dstate = dev.state()
+    params, opt_state = s["params"], s["opt_state"]
+    params, opt_state, out = dstep(params, opt_state, dstate, dev.next_key(0))
+    loss = float(out["loss"])  # fetch = sync (block_until_ready lies here)
 
+    n_calls = max(1, n_steps // spc)
     best = float("inf")
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            params, opt_state, out = step_fn(params, opt_state, next(loader))
-        loss = float(out["loss"])  # device->host sync point
+        for i in range(n_calls):
+            params, opt_state, out = dstep(
+                params, opt_state, dstate, dev.next_key(1 + r * n_calls + i)
+            )
+        loss = float(out["loss"])
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(loss), f"non-finite loss {loss}"
+    value = n_calls * spc * pos_per_step / best
+    cost = _cost_fields(
+        dstep, best / (n_calls * spc),
+        params, opt_state, dstate, dev.next_key(0),
+    )
 
-    # Pure-device rate: same step re-fed one resident batch — the gap to the
-    # live-sampler rate is the input pipeline's NON-overlapped share (host
-    # assembly + H2D the prefetch failed to hide). AllToAll/compute overlap
-    # needs >1 chip and is reported by the multichip dryrun instead.
+    # ---- secondary: host input pipeline (the reference's architecture) ----
+    hstep = s["hstep"]
+    loader = _device_prefetch(
+        s["hbs"].get_dataloader(shuffle=True, prefetch=4, repeat=True)
+    )
+    first = next(loader)
+    params, opt_state, out = hstep(params, opt_state, first)
+    loss = float(out["loss"])
+    h_steps = max(20, n_steps // 2)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, out = step_fn(params, opt_state, first)
+    for _ in range(h_steps):
+        params, opt_state, out = hstep(params, opt_state, next(loader))
+    loss = float(out["loss"])
+    t_host = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    # Same step re-fed one resident batch: the gap is the input pipeline's
+    # non-overlapped share (host assembly + H2D the prefetch failed to hide).
+    t0 = time.perf_counter()
+    for _ in range(h_steps):
+        params, opt_state, out = hstep(params, opt_state, first)
     loss = float(out["loss"])
     t_pure = time.perf_counter() - t0
     assert np.isfinite(loss)
-    input_stall_pct = max(0.0, 100.0 * (best - t_pure) / best)
 
-    cfg = CONFIGS[name]
-    value = n_steps * pos_per_step / best
     line = {
         "metric": cfg["metric"],
         "value": round(value, 1),
         "unit": "triples/s",
         "vs_baseline": round(value / cfg["baseline"], 3),
-        "host_sampler_concurrent": True,
-        "input_stall_pct": round(input_stall_pct, 1),
-        "device_only_triples_per_s": round(n_steps * pos_per_step / t_pure, 1),
-        **_cost_fields(step_fn, params, opt_state, first, best / n_steps),
+        "sampling": "on_device",
+        "steps_per_call": spc,
+        "host_pipeline_triples_per_s": round(h_steps * pos_per_step / t_host, 1),
+        "host_input_stall_pct": round(
+            max(0.0, 100.0 * (t_host - t_pure) / t_host), 1
+        ),
+        **cost,
     }
     print(json.dumps(line), flush=True)
     return line

@@ -40,10 +40,14 @@ def _l1_fwd(a, b):
 
 def _l1_bwd(res, g):
     a, b = res
-    # d|a_i − b_j|/da_i = sign(a_i − b_j); XLA fuses the broadcast chain.
-    sign = jnp.sign(a[:, None, :] - b[None, :, :])
-    da = jnp.sum(g[:, :, None] * sign, axis=1)
-    db = -jnp.sum(g[:, :, None] * sign, axis=0)
+    # Fused tiled kernel: XLA's evaluation of these two sign-reductions
+    # materializes the (B, N, d) sign tensor in HBM (the axis-0 reduction
+    # defeats fusion) — ~1 GB/step at wikikg2 bench shapes. The Pallas
+    # kernel keeps the tile in VMEM. Only reached when the forward took the
+    # Pallas path (same size gate), so no second dispatch here.
+    from besskge_tpu.ops.pallas_distance import l1_distance_grads
+
+    da, db = l1_distance_grads(a, b, g.astype(jnp.float32))
     return da.astype(a.dtype), db.astype(b.dtype)
 
 

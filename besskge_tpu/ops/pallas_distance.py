@@ -1,12 +1,20 @@
-"""Pallas TPU kernel for the L1 distance matrix.
+"""Pallas TPU kernels for the L1 distance matrix (forward AND backward).
 
 The p=2 case decomposes onto the MXU (``ops/distance.py``), but p=1 has no
 matmul form: XLA's broadcast evaluation materializes the (B, N, d)
-difference tensor in HBM when B·N·d is large. This kernel tiles (B, N) over
-a grid, streams the operand tiles HBM→VMEM through the Pallas pipeline, and
-reduces |a_i − b_j| over d entirely in VMEM — the TPU-native equivalent of
-the reference's fused C++ ``pea.distance_matrix`` custom op
+difference tensor in HBM when B·N·d is large. These kernels tile (B, N)
+over a grid, stream the operand tiles HBM→VMEM through the Pallas pipeline,
+and reduce over d entirely in VMEM — the TPU-native equivalent of the
+reference's fused C++ ``pea.distance_matrix`` custom op
 (used at ``besskge/scoring.py:195``).
+
+The backward matters as much as the forward in the training hot loop:
+``d|a_i − b_j|/da = sign(a_i − b_j)`` has no matmul form either, and XLA's
+evaluation of ``sum_j g_ij · sign(a_i − b_j)`` materializes the (B, N, d)
+sign tensor in HBM (the reduction over the non-minor axis defeats fusion) —
+at the wikikg2 bench shapes that is ~1 GB of HBM traffic per step per
+direction. :func:`l1_distance_grads` computes both operand gradients with
+the (TB, TN, d) tile living only in VMEM.
 """
 
 from __future__ import annotations
@@ -17,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["l1_distance_matrix"]
+__all__ = ["l1_distance_matrix", "l1_distance_grads"]
 
 
 def _l1_kernel(a_ref, b_ref, o_ref):
@@ -64,3 +72,90 @@ def l1_distance_matrix(
         interpret=interpret,
     )(a_p, b_p)
     return out[:B, :N]
+
+
+def _l1_grad_kernel(a_ref, b_ref, g_ref, o_ref, *, reduce_axis):
+    """Accumulate one tile of ``Σ g_ij · sign(a_i − b_j)`` over an axis.
+
+    ``reduce_axis=1`` yields the (TB, d) da contribution, ``reduce_axis=0``
+    the negated (TN, d) db contribution. The reduction runs over the grid's
+    inner dimension, so the output block (indexed by the outer grid dim
+    only) is revisited in consecutive steps — the Pallas
+    output-accumulation pattern.
+    """
+    a = a_ref[:]
+    b = b_ref[:]
+    # (TB, TN, d), VMEM-resident for this tile only. The difference runs in
+    # the input dtype (bf16 at 2x VPU width) but sign() is taken in fp32:
+    # Mosaic has no packed-bf16 compare ("Target does not support this
+    # comparison" on v5e), and the product accumulates fp32 anyway.
+    s = jnp.sign((a[:, None, :] - b[None, :, :]).astype(jnp.float32))
+    if reduce_axis == 0:
+        s = -s  # d|a − b|/db = −sign(a − b)
+    contrib = jnp.sum(
+        g_ref[:][..., None].astype(jnp.float32) * s,
+        axis=reduce_axis,
+        dtype=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def l1_distance_grads(
+    a: jnp.ndarray, b: jnp.ndarray, g: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both VJPs of :func:`l1_distance_matrix` without an HBM (B, N, d) temp.
+
+    ``da[i] = Σ_j g[i, j] · sign(a[i] − b[j])`` and
+    ``db[j] = −Σ_i g[i, j] · sign(a[i] − b[j])``, each as a tiled Pallas
+    reduction with the inner grid dimension accumulating into the output
+    block (two calls with transposed grids, so each output's revisits are
+    consecutive).
+
+    :param a: (B, d) queries.
+    :param b: (N, d) candidates.
+    :param g: (B, N) cotangent of the distance matrix.
+    :return: ``(da, db)`` in fp32, shapes (B, d) and (N, d).
+    """
+    B, d = a.shape
+    N = b.shape[0]
+    TB = min(128, _round_up(B, 8))
+    TN = min(128, _round_up(N, 128))
+    Bp, Np = _round_up(B, TB), _round_up(N, TN)
+    # Zero-padding is self-masking: padded rows/cols carry g = 0.
+    a_p = jnp.pad(a, ((0, Bp - B), (0, 0)))
+    b_p = jnp.pad(b, ((0, Np - N), (0, 0)))
+    g_p = jnp.pad(g, ((0, Bp - B), (0, Np - N)))
+
+    da = pl.pallas_call(
+        functools.partial(_l1_grad_kernel, reduce_axis=1),
+        out_shape=jax.ShapeDtypeStruct((Bp, d), jnp.float32),
+        grid=(Bp // TB, Np // TN),
+        in_specs=[
+            pl.BlockSpec((TB, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((TN, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((TB, TN), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((TB, d), lambda i, j: (i, 0)),
+        interpret=interpret,
+    )(a_p, b_p, g_p)
+
+    db = pl.pallas_call(
+        functools.partial(_l1_grad_kernel, reduce_axis=0),
+        out_shape=jax.ShapeDtypeStruct((Np, d), jnp.float32),
+        grid=(Np // TN, Bp // TB),
+        in_specs=[
+            pl.BlockSpec((TB, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((TN, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((TB, TN), lambda j, i: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((TN, d), lambda j, i: (j, 0)),
+        interpret=interpret,
+    )(a_p, b_p, g_p)
+
+    return da[:B], db[:N]

@@ -9,28 +9,36 @@ single bf16 row, and XLA's fallback scatter copies the whole table — the
 capacity story would train at crippled speed.
 
 The fix is a *storage transform*, not a new kernel: a logical bf16 table of
-shape ``(N, D)`` (``D % 128 == 0``) is stored as an int32 array of shape
-``(ceil(N/2), D)`` where packed row ``p`` holds logical rows ``2p`` and
-``2p + 1`` back to back (each int32 word is a little-endian pair of
-consecutive bf16 values, exactly a numpy ``.view(int32)`` of the two
-concatenated rows). Properties:
+shape ``(N, D)`` is stored as an int32 array of shape ``(ceil(N/2), D)``
+in a **planar halfword layout** — word ``w`` of packed row ``p`` is
+
+    ``(bits of row 2p elem w)  |  (bits of row 2p+1 elem w) << 16``
+
+i.e. the low halfword plane holds the even logical row and the high plane
+the odd one, element-aligned. Properties:
 
 - the packed minor width equals the logical width ``D``, so every shape
   downstream of a gather is unchanged;
-- the table is 32-bit with 128-aligned rows → the existing in-place DMA
+- the table is 32-bit with row-granular slices → the existing in-place DMA
   scatter kernel applies as-is;
 - HBM footprint is exactly half of an fp32 table; a logical-row gather
-  reads ``2 D`` bf16 = the same bytes as an fp32 row.
+  reads ``2 D`` bf16 = the same bytes as an fp32 row;
+- **every hot transform is elementwise**: extracting a logical row from a
+  gathered packed row is ``(word >> 16h) & 0xFFFF`` + one select — no
+  interleave shuffles, no minor-dim-2 intermediates (an interleaved layout
+  needs strided lane shuffles that XLA lowers to scatters, and a
+  ``bitcast(reshape(…, D, 2))`` materializes a minor-dim-2 temp whose
+  (8, 128) tiling pads 2 → 128: a 64× memory blow-up at wikikg2 scale).
 
 Writes land at packed-row granularity, so when BOTH logical rows of a pair
-are touched in one step their halves must be merged before the scatter —
+are touched in one step their planes must be merged before the scatter —
 and all duplicate occurrences of a packed row must carry byte-identical
 content (racing DMAs are only safe when they write the same bytes). The
 merge in :func:`merge_packed_row_writes` is exact and bitwise: each
-occurrence contributes its own half (other half zeroed), a segmented
-bitwise-OR over occurrences of the same packed row combines the halves
+occurrence contributes its own plane (other plane zeroed), a segmented
+bitwise-OR over occurrences of the same packed row combines the planes
 (OR with zero is the identity on IEEE bit patterns, and duplicates of one
-logical row are identical by the optimizer's dedup contract), and halves
+logical row are identical by the optimizer's dedup contract), and planes
 nobody wrote fall back to the current table bytes.
 
 No reference equivalent — this subsystem exists because of the TPU memory
@@ -56,6 +64,9 @@ __all__ = [
     "merge_packed_row_writes",
 ]
 
+_LO = jnp.uint32(0x0000FFFF)
+_HI = jnp.uint32(0xFFFF0000)
+
 
 def is_packed(table: jnp.ndarray) -> bool:
     """True when ``table`` is a row-pair-packed bf16 table (int32 storage).
@@ -78,80 +89,76 @@ def _flat(table: jnp.ndarray) -> jnp.ndarray:
     return table[0] if table.ndim == 3 else table
 
 
-def _pair_words(x16: jnp.ndarray) -> jnp.ndarray:
-    """(…, 2W) bf16 → (…, W) int32, word w = (elem 2w | elem 2w+1 << 16).
-
-    Uses uint16 lane shuffles + integer math instead of a
-    ``bitcast(reshape(…, W, 2))``: on TPU that reshape materializes a
-    minor-dim-2 intermediate whose (8, 128) tiling pads 2 → 128 — a 64×
-    memory blow-up (an 82 GB temp at wikikg2 scale). Little-endian order
-    matches numpy's ``.view(int32)`` exactly.
-    """
-    u = jax.lax.bitcast_convert_type(
-        x16.astype(jnp.bfloat16), jnp.uint16
-    ).astype(jnp.uint32)
+def _bits16(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 values → their bit patterns as uint32 (elementwise)."""
     return jax.lax.bitcast_convert_type(
-        u[..., 0::2] | (u[..., 1::2] << 16), jnp.int32
-    )
+        x.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
 
 
-def _unpair_words(words: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`_pair_words`: (…, W) int32 → (…, 2W) bf16."""
-    u = jax.lax.bitcast_convert_type(words, jnp.uint32)
-    lo = (u & jnp.uint32(0xFFFF)).astype(jnp.uint16)
-    hi = (u >> 16).astype(jnp.uint16)
-    out = jnp.zeros((*words.shape[:-1], 2 * words.shape[-1]), jnp.uint16)
-    out = out.at[..., 0::2].set(lo).at[..., 1::2].set(hi)
-    return jax.lax.bitcast_convert_type(out, jnp.bfloat16)
+def _from_bits16(u: jnp.ndarray) -> jnp.ndarray:
+    """Low 16 bits of uint32 words → bf16 values (elementwise)."""
+    return jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
 
 
 def pack_table(table: jnp.ndarray) -> jnp.ndarray:
     """Pack a logical ``(N, D)`` float table into int32 ``(ceil(N/2), D)``.
 
-    ``D`` must be even (it is 128-aligned in practice). An odd ``N`` gets
-    one bf16 row of zero padding (never addressed by logical indices).
+    An odd ``N`` gets one bf16 row of zero padding (never addressed by
+    logical indices).
     """
     n, d = table.shape
     x = table.astype(jnp.bfloat16)
     if n % 2:
         x = jnp.concatenate([x, jnp.zeros((1, d), jnp.bfloat16)])
-    return _pair_words(x.reshape(-1, 2 * d))
+    even = _bits16(x[0::2])
+    odd = _bits16(x[1::2])
+    return jax.lax.bitcast_convert_type(even | (odd << 16), jnp.int32)
 
 
 def unpack_table(packed: jnp.ndarray, n_logical: int) -> jnp.ndarray:
     """Inverse of :func:`pack_table` → bf16 ``(n_logical, D)``."""
     p = _flat(packed)
     d = p.shape[-1]
-    return _unpair_words(p).reshape(-1, d)[:n_logical]
+    u = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    even = _from_bits16(u & _LO)
+    odd = _from_bits16(u >> 16)
+    # Row interleave via a (P, 2, D) stack: the size-2 dim is a sublane of
+    # the (2, D) tile — a transient 4x pad acceptable for this rare
+    # (checkpoint/eval-export) full-table op; the hot paths never call it.
+    return jnp.stack([even, odd], axis=1).reshape(-1, d)[:n_logical]
 
 
 def pack_table_host(table: np.ndarray) -> np.ndarray:
     """Host-side (numpy) :func:`pack_table`; bit-identical to the device
-    transform (verified against XLA's bitcast convention in tests)."""
+    transform (verified in tests)."""
     import ml_dtypes
 
     n, d = table.shape
     x = np.ascontiguousarray(table.astype(ml_dtypes.bfloat16))
     if n % 2:
         x = np.concatenate([x, np.zeros((1, d), ml_dtypes.bfloat16)])
-    return x.reshape(-1, 2 * d).view(np.int32)
+    even = x[0::2].view(np.uint16).astype(np.uint32)
+    odd = x[1::2].view(np.uint16).astype(np.uint32)
+    return (even | (odd << 16)).view(np.int32)
 
 
 def unpack_table_host(packed: np.ndarray, n_logical: int) -> np.ndarray:
     """Host-side inverse of :func:`pack_table_host` → bf16 ``(N, D)``."""
     import ml_dtypes
 
-    d = packed.shape[-1]
-    return (
-        np.ascontiguousarray(packed)
-        .view(ml_dtypes.bfloat16)
-        .reshape(-1, d)[:n_logical]
-    )
+    u = np.ascontiguousarray(packed).view(np.uint32)
+    even = (u & 0xFFFF).astype(np.uint16).view(ml_dtypes.bfloat16)
+    odd = (u >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+    out = np.empty((2 * u.shape[0], u.shape[1]), ml_dtypes.bfloat16)
+    out[0::2] = even
+    out[1::2] = odd
+    return out[:n_logical]
 
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
-    tables and an unpack-and-select-half gather for packed ones.
+    tables and a gather + elementwise plane-select for packed ones.
 
     ``idx`` may have any shape; the result appends the row axis ``(…, D)``
     (bf16 for packed tables). Every entity-table gather in the framework
@@ -161,15 +168,10 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     t = _flat(table)
     if not is_packed(t):
         return jnp.take(table, idx, axis=0)
-    d = t.shape[-1]
-    shape = idx.shape
-    flat = idx.reshape(-1)
-    pair = jnp.take(t, flat >> 1, axis=0)  # (R, D) int32 = 2 rows
-    both = _unpair_words(pair).reshape(-1, 2, d)
-    rows = jnp.take_along_axis(
-        both, (flat & 1).astype(jnp.int32)[:, None, None], axis=1
-    )[:, 0]
-    return rows.reshape(*shape, d)
+    pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) int32 = both planes
+    u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
+    odd = (idx & 1).astype(bool)[..., None]
+    return _from_bits16(jnp.where(odd, u >> 16, u & _LO))
 
 
 def merge_packed_row_writes(
@@ -178,7 +180,7 @@ def merge_packed_row_writes(
     """Turn logical-row writes into duplicate-safe packed-row writes.
 
     :param packed: the int32 packed table (optionally with a leading unit
-        device axis), read for the halves nobody writes.
+        device axis), read for the planes nobody writes.
     :param idx: (R,) logical row indices; occurrences of the SAME logical
         row must carry identical ``rows`` content (the optimizer dedup
         contract) — occurrences of the sibling row may differ.
@@ -189,22 +191,14 @@ def merge_packed_row_writes(
         :func:`besskge_tpu.ops.pallas_scatter.scatter_rows`.
     """
     t = _flat(packed)
-    d = t.shape[-1]
-    r = idx.shape[0]
-    half = d // 2
     p = (idx >> 1).astype(jnp.int32)
-    h = (idx & 1).astype(jnp.int32)
+    odd = (idx & 1).astype(bool)[:, None]
 
-    # Each occurrence's owned half, as int32 words in packed-row position;
-    # the other half is zero. Word k of a packed row covers logical elements
-    # [2k, 2k+1] of the flattened row pair: words [0, D/2) are row 2p,
-    # words [D/2, D) are row 2p+1.
-    words = _pair_words(rows)  # (R, D/2) int32 words of the new logical row
-    lane = jnp.arange(d, dtype=jnp.int32)[None, :]
-    owned = (lane >= h[:, None] * half) & (lane < (h[:, None] + 1) * half)
-    src = jnp.clip(lane - h[:, None] * half, 0, half - 1)
-    placed = jnp.where(owned, jnp.take_along_axis(words, src, axis=1), 0)
-    mask = jnp.where(owned, jnp.int32(-1), jnp.int32(0))
+    # Each occurrence's owned plane (elementwise; the other plane is zero).
+    bits = _bits16(rows)  # (R, D) uint32, value in the low halfword
+    placed = jnp.where(odd, bits << 16, bits)
+    mask = jnp.where(odd, _HI, _LO)
+    mask = jnp.broadcast_to(mask, placed.shape)
 
     # Segmented bitwise-OR over occurrences of the same packed row: sort by
     # packed index, prefix-OR with resets at segment starts, then read each
@@ -213,9 +207,7 @@ def merge_packed_row_writes(
     sp = jnp.take(p, order)
     sv = jnp.take(placed, order, axis=0)
     sm = jnp.take(mask, order, axis=0)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
-    )
+    first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
 
     def seg_or(a, b):
         av, am, af = a
@@ -231,6 +223,8 @@ def merge_packed_row_writes(
     seg_end = jnp.searchsorted(sp, sp, side="right") - 1
     tot_v = jnp.take(pv, seg_end, axis=0)
     tot_m = jnp.take(pm, seg_end, axis=0)
-    cur = jnp.take(t, sp, axis=0)
+    cur = jax.lax.bitcast_convert_type(
+        jnp.take(t, sp, axis=0), jnp.uint32
+    )
     merged = (tot_v & tot_m) | (cur & ~tot_m)
-    return sp, merged
+    return sp, jax.lax.bitcast_convert_type(merged, jnp.int32)

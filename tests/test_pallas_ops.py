@@ -29,6 +29,89 @@ def test_l1_distance_matrix_aligned_shapes():
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-4)
 
 
+def _l1_grads_expected(a, b, g):
+    sign = np.sign(a[:, None, :] - b[None, :, :])
+    da = (g[:, :, None] * sign).sum(1)
+    db = -(g[:, :, None] * sign).sum(0)
+    return da, db
+
+
+def test_l1_distance_grads_interpret():
+    from besskge_tpu.ops.pallas_distance import l1_distance_grads
+
+    rng = np.random.default_rng(3)
+    # Non-divisible B and N exercise the zero-padded (self-masking) tiles.
+    a = rng.normal(size=(37, 100)).astype(np.float32)
+    b = rng.normal(size=(211, 100)).astype(np.float32)
+    g = rng.normal(size=(37, 211)).astype(np.float32)
+    da, db = l1_distance_grads(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(g), interpret=True
+    )
+    eda, edb = _l1_grads_expected(a, b, g)
+    np.testing.assert_allclose(np.asarray(da), eda, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db), edb, rtol=1e-5, atol=1e-5)
+
+
+def test_l1_distance_grads_multi_tile_accumulation():
+    from besskge_tpu.ops.pallas_distance import l1_distance_grads
+
+    rng = np.random.default_rng(4)
+    # > 1 tile in BOTH grid dims so the output-revisit accumulation runs.
+    a = rng.normal(size=(256, 64)).astype(np.float32)
+    b = rng.normal(size=(384, 64)).astype(np.float32)
+    g = rng.normal(size=(256, 384)).astype(np.float32)
+    da, db = l1_distance_grads(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(g), interpret=True
+    )
+    eda, edb = _l1_grads_expected(a, b, g)
+    np.testing.assert_allclose(np.asarray(da), eda, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), edb, rtol=1e-5, atol=1e-4)
+
+
+def test_l1_distance_grads_matches_autodiff_of_broadcast():
+    """End-to-end: the custom-VJP pair (pallas fwd + pallas bwd) agrees with
+    jax.grad of the plain broadcast formula on a scalar loss."""
+    from besskge_tpu.ops import distance as dist_mod
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(24, 32)).astype(np.float32)
+    b = rng.normal(size=(40, 32)).astype(np.float32)
+    w = rng.normal(size=(24, 40)).astype(np.float32)
+
+    def loss_pallas(a_, b_):
+        # interpret-mode pallas fwd; bwd goes through l1_distance_grads
+        import functools
+
+        fwd = functools.partial(dist_mod._l1_pallas)
+        return jnp.sum(w * fwd(a_, b_))
+
+    def loss_ref(a_, b_):
+        return jnp.sum(w * dist_mod._l1_broadcast(a_, b_))
+
+    # interpret mode: patch the kernels' interpret flag via closures
+    import besskge_tpu.ops.pallas_distance as pd
+
+    orig_mat, orig_grads = pd.l1_distance_matrix, pd.l1_distance_grads
+    pd_interp_mat = lambda a_, b_: orig_mat(a_, b_, interpret=True)
+    pd_interp_grads = lambda a_, b_, g_: orig_grads(a_, b_, g_, interpret=True)
+    pd.l1_distance_matrix = pd_interp_mat
+    pd.l1_distance_grads = pd_interp_grads
+    try:
+        ga, gb = jax.grad(loss_pallas, argnums=(0, 1))(
+            jnp.asarray(a), jnp.asarray(b)
+        )
+        ra, rb = jax.grad(loss_ref, argnums=(0, 1))(
+            jnp.asarray(a), jnp.asarray(b)
+        )
+    finally:
+        pd.l1_distance_matrix = orig_mat
+        pd.l1_distance_grads = orig_grads
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5,
+                               atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # scatter_rows (in-place row writes, ops/pallas_scatter.py)
 # ---------------------------------------------------------------------------
