@@ -184,7 +184,8 @@ def _setup_biokg():
 
     spc = CONFIGS["biokg"]["steps_per_call"]
     dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
-                             batches_per_step=bps, seed=0)
+                             batches_per_step=bps, seed=0,
+                             positive_mode="runs")
     dstep = build_device_train_step(
         bess, optimizer, dev, None, steps_per_call=spc
     )
@@ -247,7 +248,8 @@ def _setup_wikikg2(bf16_table: bool = False):
     opt_state = init_optimizer_state(opt, params, None, row)
 
     dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
-                             batches_per_step=bps, seed=0)
+                             batches_per_step=bps, seed=0,
+                             positive_mode="runs")
     dstep = build_device_train_step(
         bess, opt, dev, None, entity_optimizer=row, steps_per_call=1
     )

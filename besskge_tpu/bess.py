@@ -50,7 +50,8 @@ from besskge_tpu.negative_sampler import (
 )
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
 from besskge_tpu.scoring import BaseScoreFunction
-from besskge_tpu.packed import take_rows
+from besskge_tpu.packed import is_packed as pk_is_packed
+from besskge_tpu.packed import take_contiguous_rows, take_rows
 from besskge_tpu.utils import gather_indices
 
 __all__ = [
@@ -756,20 +757,50 @@ class TopKQueryBessKGE:
             known_emb_all = self._all_gather(take_rows(table, head))
         known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
 
+        # All-entities mode slides over CONTIGUOUS local rows: load each
+        # window with one dynamic_slice DMA instead of window_size row
+        # gathers (XLA row gathers are HBM-latency-bound). The final window
+        # clamps its start so it stays in range; rows it re-reads from the
+        # previous window are masked invalid (idx < i*W), so the top-k merge
+        # never sees an entity twice.
+        t_flat = table[0] if table.ndim == 3 else table
+        packed_tab = pk_is_packed(t_flat)
+        row_cap = 2 * t_flat.shape[0] if packed_tab else t_flat.shape[0]
+        contiguous = (
+            mask_rows is None
+            and self.window_size <= row_cap
+            and not (packed_tab and self.window_size % 2)
+        )
+
         def loop_body(i, carry):
             curr_score, curr_idx = carry
-            slide = (
-                i * self.window_size
-                + jnp.arange(self.window_size, dtype=jnp.int32)
-            )[None, :]
-            valid = slide < n_candidate
-            slide = jnp.where(valid, slide, n_candidate - 1)
-            if mask_rows is not None:
-                valid = jnp.logical_and(
-                    valid, gather_indices(mask_rows, slide)
+            if contiguous:
+                start = jnp.minimum(
+                    i * self.window_size, row_cap - self.window_size
                 )
-            neg_ent_idx = gather_indices(candidate, slide)
-            neg_emb = take_rows(table, neg_ent_idx)
+                neg_ent_idx = (
+                    start + jnp.arange(self.window_size, dtype=jnp.int32)
+                )[None, :]
+                valid = jnp.logical_and(
+                    neg_ent_idx >= i * self.window_size,
+                    neg_ent_idx < n_candidate,
+                )
+                neg_emb = take_contiguous_rows(
+                    table, start, self.window_size
+                )[None]
+            else:
+                slide = (
+                    i * self.window_size
+                    + jnp.arange(self.window_size, dtype=jnp.int32)
+                )[None, :]
+                valid = slide < n_candidate
+                slide = jnp.where(valid, slide, n_candidate - 1)
+                if mask_rows is not None:
+                    valid = jnp.logical_and(
+                        valid, gather_indices(mask_rows, slide)
+                    )
+                neg_ent_idx = gather_indices(candidate, slide)
+                neg_emb = take_rows(table, neg_ent_idx)
             if scheme == "h":
                 negative_score = self.score_fn.score_heads(
                     params, neg_emb, relation_all, known_emb_all

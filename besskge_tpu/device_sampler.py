@@ -60,6 +60,19 @@ class DeviceBatchSampler:
     :param hrt_freq_weighting: emit per-triple ``triple_weight`` =
         ``sqrt(1/(count(h,r)+count(r,t)+smoothing))``, micro-batch
         normalized (reference ``besskge/batch_sampler.py:130-143``).
+    :param positive_mode: how positives are drawn from each partition.
+        ``"iid"`` — uniform with replacement per triple (the
+        :class:`RandomShardedBatchSampler` semantics; a row gather).
+        ``"runs"`` — one uniform start per (micro-batch, partition) and a
+        CONTIGUOUS run of ``positive_per_partition`` triples from it: the
+        device twin of the reference's epoch-style
+        :class:`~besskge_tpu.batch_sampler.RigidShardedBatchSampler`
+        (sequential consumption of a shuffled partition,
+        ``/root/reference/besskge/batch_sampler.py:299-363`` — the sampler
+        its training notebooks use). On TPU a run is one ``dynamic_slice``
+        DMA instead of per-triple row gathers — the iid triple gather is
+        HBM-latency-bound and costs as much as the whole forward pass.
+        Requires every partition to hold at least one run.
     """
 
     def __init__(
@@ -71,6 +84,7 @@ class DeviceBatchSampler:
         seed: int = 0,
         hrt_freq_weighting: bool = False,
         weight_smoothing: float = 0.0,
+        positive_mode: str = "iid",
     ) -> None:
         pts = partitioned_triple_set
         self.sharding = pts.sharding
@@ -112,6 +126,18 @@ class DeviceBatchSampler:
         self._offsets = np.asarray(pts.triple_offsets, np.int64)
         self._shard_counts = np.asarray(self.sharding.shard_counts, np.int32)
 
+        if positive_mode not in ("iid", "runs"):
+            raise ValueError(f"Unknown positive_mode {positive_mode!r}")
+        if positive_mode == "runs" and (
+            self._counts < self.positive_per_partition
+        ).any():
+            raise ValueError(
+                "positive_mode='runs' needs every partition to hold at "
+                f"least one run of {self.positive_per_partition} triples "
+                f"(smallest partition: {int(self._counts.min())})"
+            )
+        self.positive_mode = positive_mode
+
         self.hrt_freq_weighting = hrt_freq_weighting
         self._weights: Optional[np.ndarray] = None
         if hrt_freq_weighting:
@@ -140,8 +166,17 @@ class DeviceBatchSampler:
     def state(self) -> Dict[str, jnp.ndarray]:
         """Device-resident sampling state, passed into the jitted step (so
         the triple array is a runtime buffer, not a baked-in HLO constant).
-        Replicate it over the mesh (``P()`` spec)."""
-        st = {"triples": jnp.asarray(self._triples)}
+        Replicate it over the mesh (``P()`` spec).
+
+        Triples are stored as three 1-D columns: a 2-D ``(n, 3)`` int32
+        array would get its minor dim lane-padded 3 → 128 by the TPU tiled
+        layout — 42x the HBM and 42x the bytes per gathered row.
+        """
+        st = {
+            "h": jnp.asarray(self._triples[:, 0]),
+            "r": jnp.asarray(self._triples[:, 1]),
+            "t": jnp.asarray(self._triples[:, 2]),
+        }
         if self._weights is not None:
             st["weights"] = jnp.asarray(self._weights)
         if self._negative_kind == "type":
@@ -182,16 +217,38 @@ class DeviceBatchSampler:
             shape = (bps, S, S, ppp)
         else:
             shape = (bps, S, ppp)
-        counts = jnp.asarray(self._counts, jnp.float32)[None, ..., None]
-        offsets = jnp.asarray(self._offsets, jnp.int32)[None, ..., None]
-        u = jax.random.uniform(k_pos, shape)
-        # (u * count) floor is uniform over [0, count) up to 2^-24 bias —
-        # negligible at real partition sizes, and avoids per-element-bound
-        # randint (unsupported) or a modulo (biased at large counts).
-        sample_idx = offsets + (u * counts).astype(jnp.int32)
 
-        hrt = jnp.take(state["triples"], sample_idx, axis=0)
-        head, relation, tail = hrt[..., 0], hrt[..., 1], hrt[..., 2]
+        if self.positive_mode == "runs":
+            # One uniform run start per (micro-batch, partition); the run is
+            # a contiguous dynamic_slice — a single DMA per column instead
+            # of ppp latency-bound row gathers.
+            counts = jnp.asarray(self._counts, jnp.float32)
+            offsets = jnp.asarray(self._offsets, jnp.int32)
+            u = jax.random.uniform(k_pos, (bps, *counts.shape))
+            starts = offsets + (u * (counts - ppp + 1)).astype(jnp.int32)
+            sample_idx = starts[..., None] + jnp.arange(ppp, dtype=jnp.int32)
+            flat = starts.reshape(bps, -1)
+            cols = []
+            for name in ("h", "r", "t"):
+                arr = state[name]
+                slabs = [
+                    jax.lax.dynamic_slice_in_dim(arr, flat[mb, pt], ppp)
+                    for mb in range(bps)
+                    for pt in range(flat.shape[1])
+                ]
+                cols.append(jnp.stack(slabs).reshape(shape))
+            head, relation, tail = cols
+        else:
+            counts = jnp.asarray(self._counts, jnp.float32)[None, ..., None]
+            offsets = jnp.asarray(self._offsets, jnp.int32)[None, ..., None]
+            u = jax.random.uniform(k_pos, shape)
+            # (u * count) floor is uniform over [0, count) up to 2^-24 bias —
+            # negligible at real partition sizes, and avoids per-element-bound
+            # randint (unsupported) or a modulo (biased at large counts).
+            sample_idx = offsets + (u * counts).astype(jnp.int32)
+            head = jnp.take(state["h"], sample_idx, axis=0)
+            relation = jnp.take(state["r"], sample_idx, axis=0)
+            tail = jnp.take(state["t"], sample_idx, axis=0)
         if self.triple_partition_mode == "ht_shardpair":
             # Pre-transpose tails (shard_h <-> shard_t) for the AllToAll.
             tail = jnp.swapaxes(tail, 1, 2)

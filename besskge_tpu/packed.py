@@ -60,6 +60,7 @@ __all__ = [
     "pack_table_host",
     "unpack_table_host",
     "take_rows",
+    "take_contiguous_rows",
     "logical_rows",
     "merge_packed_row_writes",
 ]
@@ -172,6 +173,28 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     odd = (idx & 1).astype(bool)[..., None]
     return _from_bits16(jnp.where(odd, u >> 16, u & _LO))
+
+
+def take_contiguous_rows(
+    table: jnp.ndarray, start: jnp.ndarray, w: int
+) -> jnp.ndarray:
+    """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
+
+    One contiguous ``dynamic_slice`` DMA instead of ``w`` row gathers — an
+    XLA row gather is HBM-latency-bound (~10 GB/s effective), so sliding
+    windows over local entities (TopK / AllScores) should never gather.
+    ``start`` must be even for packed tables (callers align window starts);
+    out-of-range starts are clamped by ``dynamic_slice`` semantics.
+    """
+    t = _flat(table)
+    if not is_packed(t):
+        return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
+    pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
+    u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
+    even = _from_bits16(u & _LO)
+    odd = _from_bits16(u >> 16)
+    # transient (w/2, 2, D) sublane pad is tiny at window sizes
+    return jnp.stack([even, odd], axis=1).reshape(w, -1)
 
 
 def merge_packed_row_writes(

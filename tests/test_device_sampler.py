@@ -124,6 +124,88 @@ def test_positives_come_from_their_partition():
             assert rows.shape[0] == 3 * ppp
 
 
+def test_runs_mode_positives_are_partition_runs():
+    """positive_mode='runs': every emitted triple belongs to its
+    (shard_h, shard_t) bucket AND each (micro-batch, partition) block is a
+    contiguous run of that bucket."""
+    ds = _dataset(n_triple=6000)
+    sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    ns = RandomShardedNegativeSampler(
+        5, sharding, SEED, "t", local_sampling=False,
+        flat_negative_format=False,
+    )
+    dev = DeviceBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=3, seed=SEED,
+        positive_mode="runs",
+    )
+    batch = jax.tree.map(np.asarray, dev.sample(dev.state(), dev.next_key(2)))
+    ppp = dev.positive_per_partition
+    tail = np.swapaxes(batch["tail"], 1, 2)
+    for mb in range(3):
+        for sh in range(N_SHARD):
+            for st in range(N_SHARD):
+                lo = pts.triple_offsets[sh, st]
+                n = pts.triple_counts[sh, st]
+                bucket = pts.triples[lo : lo + n]
+                rows = np.stack(
+                    [
+                        batch["head"][mb, sh, st],
+                        batch["relation"][mb, sh, st],
+                        tail[mb, sh, st],
+                    ],
+                    axis=1,
+                )
+                # the block must equal a contiguous slice of the bucket
+                first = rows[0].tolist()
+                starts = [
+                    i for i in range(n - ppp + 1)
+                    if bucket[i].tolist() == first
+                ]
+                assert any(
+                    (bucket[s : s + ppp] == rows).all() for s in starts
+                ), (mb, sh, st)
+
+
+def test_runs_mode_rejects_small_partitions():
+    _, _, pts, ns, _ = _setup()
+    with pytest.raises(ValueError, match="runs"):
+        DeviceBatchSampler(
+            pts, ns, shard_bs=3000, batches_per_step=2, seed=SEED,
+            positive_mode="runs",
+        )
+
+
+def test_runs_mode_trains():
+    """End-to-end: a Trainer over the runs-mode device sampler converges."""
+    ds = _dataset(n_triple=6000, structured=True)
+    sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    ns = RandomShardedNegativeSampler(
+        5, sharding, SEED, "t", local_sampling=False,
+        flat_negative_format=False,
+    )
+    dev = DeviceBatchSampler(
+        pts, ns, shard_bs=24, batches_per_step=2, seed=SEED,
+        positive_mode="runs",
+    )
+    score = TransE(
+        negative_sample_sharing=False, scoring_norm=1, sharding=sharding,
+        n_relation_type=N_RELATION, embedding_size=32, seed=SEED,
+    )
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns, score_fn=score,
+        loss_fn=LogSigmoidLoss(margin=4.0,
+                               negative_adversarial_sampling=False),
+    )
+    mesh = make_shard_mesh(N_SHARD)
+    tr = Trainer(bess, dev, optax.adamw(1e-2), mesh=mesh)
+    hist = tr.fit(n_epochs=6, log_every=0)
+    tr0 = Trainer(bess, dev, optax.adamw(1e-2), mesh=mesh)
+    h0 = tr0.fit(n_epochs=1, log_every=0)
+    assert hist["final_loss"] < 0.6 * h0["final_loss"], (hist, h0)
+
+
 def test_random_negatives_within_source_shard_range():
     _, sharding, _, ns, dev = _setup(n_negative=7)
     batch = jax.tree.map(np.asarray, dev.sample(dev.state(), dev.next_key(1)))

@@ -227,3 +227,89 @@ def test_end_to_end_packed_training_on_mesh():
     ulps = np.abs(a - b)
     assert ulps.max() <= 4, f"max ulp diff {ulps.max()}"
     assert (ulps > 0).mean() < 1e-3, f"{(ulps > 0).sum()} elements differ"
+
+
+def test_take_contiguous_rows_matches_take_rows():
+    """Windowed loads (TopK/AllScores) must agree with the row gather for
+    plain and packed tables, including clamped starts."""
+    rng = np.random.default_rng(9)
+    tab = rng.normal(size=(53, 128)).astype(np.float32)
+    packed = pk.pack_table(jnp.asarray(tab))
+    plain = jnp.asarray(_bf16(tab))
+    for start, w in ((0, 16), (20, 16), (38, 16), (2, 52)):
+        idx = jnp.arange(start, start + w, dtype=jnp.int32)
+        for t in (plain, packed):
+            got = pk.take_contiguous_rows(t, jnp.asarray(start), w)
+            # clamp semantics: dynamic_slice shifts the window in range
+            cap = 2 * packed.shape[0] if pk.is_packed(t) else t.shape[0]
+            lo = min(start, cap - w)
+            want = pk.take_rows(t, jnp.arange(lo, lo + w, dtype=jnp.int32))
+            np.testing.assert_array_equal(
+                np.asarray(got.astype(jnp.float32)),
+                np.asarray(want.astype(jnp.float32)),
+            )
+
+
+def test_topk_packed_table_matches_plain():
+    """TopKQueryBessKGE over a packed bf16 table returns the same
+    completions as over the plain bf16 table (contiguous packed windows)."""
+    from besskge_tpu.bess import TopKQueryBessKGE
+    from besskge_tpu.negative_sampler import PlaceholderNegativeSampler
+    from besskge_tpu.scoring import TransE
+    from besskge_tpu.sharding import Sharding
+
+    rng = np.random.default_rng(10)
+    n_entity, n_shard, n_query = 220, 4, 12
+    sharding = Sharding.create(n_entity, n_shard, seed=3)
+    score_fn = TransE(
+        negative_sample_sharing=True, scoring_norm=1, sharding=sharding,
+        n_relation_type=4, embedding_size=128, seed=3,
+    )
+    score_fn.dtype = jnp.bfloat16
+    ns = PlaceholderNegativeSampler("t")
+
+    head = rng.integers(sharding.max_entity_per_shard, size=n_query)
+    rel = rng.integers(4, size=n_query)
+
+    def run(packed_storage):
+        import jax as _jax
+
+        from besskge_tpu.parallel import make_shard_mesh
+        from besskge_tpu.parallel.mesh import shard_params
+
+        score_fn.packed_entity_storage = packed_storage
+        topk = TopKQueryBessKGE(
+            k=8, candidate_sampler=ns, score_fn=score_fn, window_size=16
+        )
+        mesh = make_shard_mesh(n_shard)
+        params = shard_params(
+            {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()},
+            mesh,
+        )
+        from jax.sharding import PartitionSpec as P
+
+        fwd = _jax.jit(
+            _jax.shard_map(
+                lambda p, r, h: topk.forward(p, r, head=h),
+                mesh=mesh,
+                in_specs=(
+                    {k: P("shard") for k in params},
+                    P("shard"),
+                    P("shard"),
+                ),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+        rel_g = jnp.asarray(
+            np.tile(rel, n_shard).reshape(n_shard * n_query), jnp.int32
+        )
+        head_g = jnp.asarray(
+            np.tile(head, n_shard).reshape(n_shard * n_query), jnp.int32
+        )
+        out = fwd(params, rel_g, head_g)
+        return np.asarray(out["topk_global_id"])
+
+    plain = run(False)
+    packed = run(True)
+    np.testing.assert_array_equal(plain, packed)
