@@ -939,12 +939,25 @@ class AllScoresBESS:
             take_rows(table, known)
         ).reshape(-1, self.entity_embedding_size)
 
-        ent_slice = jnp.minimum(
-            step * self.window_size
-            + jnp.arange(self.window_size, dtype=jnp.int32),
-            self.sharding.max_entity_per_shard - 1,
-        )
-        neg_emb = take_rows(table, ent_slice)[None]
+        # Contiguous window load (one dynamic_slice DMA) whenever possible;
+        # the host stitch in AllScoresPipeline mirrors this index math
+        # exactly (pipeline.py column map). The final window clamps its
+        # start, re-scoring a prefix of the previous window — the host
+        # dedup keeps first occurrences, and duplicated columns carry
+        # identical scores.
+        t_flat = table[0] if table.ndim == 3 else table
+        packed_tab = pk_is_packed(t_flat)
+        row_cap = 2 * t_flat.shape[0] if packed_tab else t_flat.shape[0]
+        w = self.window_size
+        if w <= row_cap and not (packed_tab and w % 2):
+            start = jnp.minimum(step * w, row_cap - w)
+            neg_emb = take_contiguous_rows(table, start, w)[None]
+        else:
+            ent_slice = jnp.minimum(
+                step * w + jnp.arange(w, dtype=jnp.int32),
+                self.sharding.max_entity_per_shard - 1,
+            )
+            neg_emb = take_rows(table, ent_slice)[None]
 
         if scheme == "h":
             scores = self.score_fn.score_heads(

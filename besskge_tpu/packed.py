@@ -215,13 +215,18 @@ def merge_packed_row_writes(
     """
     t = _flat(packed)
     p = (idx >> 1).astype(jnp.int32)
-    odd = (idx & 1).astype(bool)[:, None]
+    odd = (idx & 1).astype(bool)
 
     # Each occurrence's owned plane (elementwise; the other plane is zero).
+    # The write mask is UNIFORM across a row's lanes in the planar layout —
+    # a per-row scalar, so the segmented reduction below scans (R, D) words
+    # plus an (R,) mask, not two (R, D) arrays. Row gathers (not scan
+    # passes) dominate this function on TPU: keep them to three — sorted
+    # values in, segment totals out, current table rows. (A
+    # searchsorted-based first-occurrence variant with 4 gathers measured
+    # ~20% slower end-to-end.)
     bits = _bits16(rows)  # (R, D) uint32, value in the low halfword
-    placed = jnp.where(odd, bits << 16, bits)
-    mask = jnp.where(odd, _HI, _LO)
-    mask = jnp.broadcast_to(mask, placed.shape)
+    placed = jnp.where(odd[:, None], bits << 16, bits)
 
     # Segmented bitwise-OR over occurrences of the same packed row: sort by
     # packed index, prefix-OR with resets at segment starts, then read each
@@ -229,25 +234,22 @@ def merge_packed_row_writes(
     order = jnp.argsort(p)
     sp = jnp.take(p, order)
     sv = jnp.take(placed, order, axis=0)
-    sm = jnp.take(mask, order, axis=0)
+    sm = jnp.where(jnp.take(odd, order), _HI, _LO)  # (R,) scalar masks
     first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
 
     def seg_or(a, b):
         av, am, af = a
         bv, bm, bf = b
-        keep = bf[..., None] if av.ndim > bf.ndim else bf
         return (
-            jnp.where(keep, bv, av | bv),
-            jnp.where(keep, bm, am | bm),
+            jnp.where(bf[:, None], bv, av | bv),
+            jnp.where(bf, bm, am | bm),
             af | bf,
         )
 
     pv, pm, _ = jax.lax.associative_scan(seg_or, (sv, sm, first), axis=0)
     seg_end = jnp.searchsorted(sp, sp, side="right") - 1
     tot_v = jnp.take(pv, seg_end, axis=0)
-    tot_m = jnp.take(pm, seg_end, axis=0)
-    cur = jax.lax.bitcast_convert_type(
-        jnp.take(t, sp, axis=0), jnp.uint32
-    )
+    tot_m = jnp.take(pm, seg_end)[:, None]
+    cur = jax.lax.bitcast_convert_type(jnp.take(t, sp, axis=0), jnp.uint32)
     merged = (tot_v & tot_m) | (cur & ~tot_m)
     return sp, jax.lax.bitcast_convert_type(merged, jnp.int32)

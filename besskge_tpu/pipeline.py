@@ -92,12 +92,25 @@ class AllScoresPipeline:
         # Precompute the stitched-column -> global-entity dedup map: column
         # order is (step, shard, window-pos); keep the first occurrence of
         # each global ID, drop padding IDs (reference ``pipeline.py:243-247``).
+        # MUST mirror AllScoresBESS.forward's window index math exactly: a
+        # contiguous window clamps its start (re-reading a prefix of the
+        # previous window — identical scores, deduped here), and a packed
+        # bf16 table may expose one zero pad row past max_entity_per_shard
+        # (its column aliases the last real index and loses the first-
+        # occurrence race to the real column, so it is always dropped).
         ws = self.bess_module.window_size
+        max_e = sharding.max_entity_per_shard
+        packed_tab = bool(getattr(score_fn, "packed_entity_storage", False))
+        row_cap = max_e + (max_e % 2) if packed_tab else max_e
+        contiguous = ws <= row_cap and not (packed_tab and ws % 2)
         col_ids = []
         for i in range(self.bess_module.n_step):
-            ent_slice = np.minimum(
-                i * ws + np.arange(ws), sharding.max_entity_per_shard - 1
-            )
+            if contiguous:
+                ent_slice = np.minimum(
+                    min(i * ws, row_cap - ws) + np.arange(ws), max_e - 1
+                )
+            else:
+                ent_slice = np.minimum(i * ws + np.arange(ws), max_e - 1)
             col_ids.append(sharding.shard_and_idx_to_entity[:, ent_slice].ravel())
         self._col_select = np.unique(
             np.concatenate(col_ids), return_index=True

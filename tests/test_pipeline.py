@@ -170,3 +170,52 @@ def test_pipeline_candidate_restriction():
         non_cand[None, :] == pos_col[:, None]
     )
     assert np.isneginf(masked[~rows_pos]).all()
+
+
+def test_pipeline_packed_table_matches_plain_bf16():
+    """AllScoresPipeline over a packed bf16 entity table returns the same
+    score matrix as over the plain bf16 table (packed contiguous windows,
+    clamped final window deduped by the stitch). ``Sharding.create`` keeps
+    per-shard rows even, so the packed table never exposes its pad row
+    here; the stitch handles it defensively for externally built
+    shardings."""
+    import besskge_tpu.packed as pk
+
+    def run(packed_storage):
+        score_fn = DistMult(
+            negative_sample_sharing=True,
+            sharding=sharding,
+            n_relation_type=N_RELATION,
+            embedding_size=128,
+            entity_initializer=np.repeat(entity_table, 8, axis=-1),
+            relation_initializer=np.repeat(relation_table, 8, axis=-1),
+        )
+        score_fn.dtype = jnp.bfloat16
+        score_fn.packed_entity_storage = packed_storage
+        pts = PartitionedTripleSet.create_from_dataset(
+            ds, "test", sharding, partition_mode="h_shard"
+        )
+        ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=SEED)
+        bs = RigidShardedBatchSampler(
+            pts, ns, shard_bs=24, batches_per_step=2, seed=SEED,
+            return_triple_idx=True,
+        )
+        pipeline = AllScoresPipeline(
+            bs, "t", score_fn,
+            mesh=make_shard_mesh(N_SHARD),
+            evaluation=Evaluation(["mrr"], reduction="none"),
+            return_scores=True,
+            window_size=16,
+        )
+        params = score_fn.initial_params()
+        if packed_storage:
+            assert pk.is_packed(params["entity_embedding"])
+        out = pipeline.forward(params)
+        orig = pts.triple_sort_idx[out["triple_idx"]]
+        back = np.empty_like(out["scores"])
+        back[orig] = out["scores"]
+        return back
+
+    plain = run(False)
+    packed = run(True)
+    np.testing.assert_array_equal(plain, packed)

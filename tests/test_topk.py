@@ -234,12 +234,11 @@ def test_allscores_full_matrix():
         full = np.full((stitched.shape[0], N_ENTITY), np.nan, np.float32)
         for s in range(N_SHARD):
             for w in range(n_step):
-                idx = np.minimum(np.arange(w * ws, (w + 1) * ws), max_e - 1)
-                valid = idx < sharding.shard_counts[s]
-                # Skip overshoot duplicates (idx clamped).
-                dup = np.zeros_like(valid)
-                dup[1:] = idx[1:] == idx[:-1]
-                use = valid & ~dup
+                # Mirror AllScoresBESS's contiguous-window math: the final
+                # window clamps its start; re-read columns carry identical
+                # scores, so overwriting on duplicates is harmless.
+                idx = min(w * ws, max_e - ws) + np.arange(ws)
+                use = idx < sharding.shard_counts[s]
                 cols = sharding.shard_and_idx_to_entity[s, idx[use]]
                 full[:, cols] = stitched[:, w, s, use]
         assert not np.isnan(full[mask]).any()
