@@ -355,6 +355,26 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
     t_pure = time.perf_counter() - t0
     assert np.isfinite(loss)
 
+    # Profiler-trace breakdown of a few steps (device busy share, data
+    # movement, collective time + collective/compute overlap — 0 on one
+    # chip). Best-effort: the remote backend's trace support can vary.
+    trace_fields = {}
+    try:
+        import tempfile
+
+        from besskge_tpu.monitor import trace_breakdown
+
+        def _traced():
+            p, o = params, opt_state
+            for i in range(3):
+                p, o, out = dstep(p, o, dstate, dev.next_key(1000 + i))
+            _ = float(out["loss"])
+
+        with tempfile.TemporaryDirectory() as td:
+            trace_fields = trace_breakdown(_traced, td)
+    except Exception:
+        pass
+
     line = {
         "metric": cfg["metric"],
         "value": round(value, 1),
@@ -367,6 +387,7 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
             max(0.0, 100.0 * (t_host - t_pure) / t_host), 1
         ),
         **cost,
+        **trace_fields,
     }
     print(json.dumps(line), flush=True)
     return line

@@ -23,6 +23,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=123_182)
+    ap.add_argument("--model", default="complex",
+                    choices=["complex", "transe-l1", "transe-l2"])
     ap.add_argument("--dim", type=int, default=128, help="complex dim (row 2d)")
     ap.add_argument("--window", type=int, default=500)
     ap.add_argument("--batch", type=int, default=512, help="queries per call")
@@ -30,6 +32,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--force-gather", action="store_true",
                     help="disable the contiguous window load (A/B baseline)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 scoring math (2x VPU width; the reference "
+                         "runs fp16 on IPU)")
     args = ap.parse_args()
 
     import jax
@@ -52,12 +57,24 @@ def main() -> None:
     else:
         window = args.window
 
+    from besskge_tpu.scoring import TransE
+
     rng = np.random.default_rng(0)
     sharding = Sharding.create(args.entities, 1, seed=0)
-    score_fn = ComplEx(
-        negative_sample_sharing=True, sharding=sharding,
-        n_relation_type=37, embedding_size=2 * args.dim, seed=0,
-    )
+    if args.model == "complex":
+        score_fn = ComplEx(
+            negative_sample_sharing=True, sharding=sharding,
+            n_relation_type=37, embedding_size=2 * args.dim, seed=0,
+        )
+    else:
+        score_fn = TransE(
+            negative_sample_sharing=True,
+            scoring_norm=1 if args.model.endswith("l1") else 2,
+            sharding=sharding, n_relation_type=37,
+            embedding_size=args.dim, seed=0,
+        )
+    if args.bf16:
+        score_fn.compute_dtype = jnp.bfloat16
     ns = PlaceholderNegativeSampler("t")
     topk = TopKQueryBessKGE(
         k=args.k, candidate_sampler=ns, score_fn=score_fn,
@@ -85,9 +102,9 @@ def main() -> None:
 
     mode = "gather" if args.force_gather else "contiguous"
     print(
-        f"topk vs {args.entities} entities (ComplEx 2x{args.dim}, window "
-        f"{window}, {mode}): {best*1e3:.1f} ms / {args.batch}-query batch "
-        f"= {args.batch/best:,.0f} queries/s"
+        f"topk vs {args.entities} entities ({args.model} d={args.dim}, "
+        f"window {window}, {mode}): {best*1e3:.1f} ms / {args.batch}-query "
+        f"batch = {args.batch/best:,.0f} queries/s"
     )
 
 

@@ -762,6 +762,9 @@ class TopKQueryBessKGE:
         else:
             known_emb_all = self._all_gather(take_rows(table, head))
         known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
+        cd = self.score_fn.compute_dtype
+        if cd is not None:
+            known_emb_all = known_emb_all.astype(cd)
 
         # All-entities mode slides over CONTIGUOUS local rows: load each
         # window with one dynamic_slice DMA instead of window_size row
@@ -807,6 +810,8 @@ class TopKQueryBessKGE:
                     )
                 neg_ent_idx = gather_indices(candidate, slide)
                 neg_emb = take_rows(table, neg_ent_idx)
+            if cd is not None:
+                neg_emb = neg_emb.astype(cd)
             if scheme == "h":
                 negative_score = self.score_fn.score_heads(
                     params, neg_emb, relation_all, known_emb_all
@@ -944,6 +949,9 @@ class AllScoresBESS:
         known_emb_all = self._all_gather(
             take_rows(table, known)
         ).reshape(-1, self.entity_embedding_size)
+        cd = self.score_fn.compute_dtype
+        if cd is not None:
+            known_emb_all = known_emb_all.astype(cd)
 
         # Contiguous window load (one dynamic_slice DMA) whenever possible;
         # the host stitch in AllScoresPipeline mirrors this index math
@@ -964,6 +972,8 @@ class AllScoresBESS:
                 self.sharding.max_entity_per_shard - 1,
             )
             neg_emb = take_rows(table, ent_slice)[None]
+        if cd is not None:
+            neg_emb = neg_emb.astype(cd)
 
         if scheme == "h":
             scores = self.score_fn.score_heads(

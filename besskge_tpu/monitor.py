@@ -81,6 +81,108 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def trace_breakdown(run, log_dir: str) -> Dict[str, Any]:
+    """Profile ``run()`` and return a device-time breakdown from the trace.
+
+    Parses the Chrome-trace events ``jax.profiler`` writes (works through
+    the remote TPU backend) and reports, over the traced span of the device
+    op track: busy share, time in collectives (all-to-all / all-gather /
+    all-reduce / collective-permute), time in data movement
+    (copy/gather/scatter/slice), and the share of collective time that
+    OVERLAPS other device computation — the BESS north-star metric
+    (BASELINE.md: "AllToAll/compute overlap %"). Single-chip programs have
+    no collectives; the fields then read 0.
+    """
+    import glob
+    import gzip
+    import json
+
+    with trace(log_dir):
+        run()
+
+    paths = sorted(
+        glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    if not paths:
+        return {}
+    events = json.load(gzip.open(paths[-1]))["traceEvents"]
+
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    ops = [
+        e
+        for e in events
+        if e.get("ph") == "X"
+        and e.get("pid") in device_pids
+        and e.get("dur", 0) > 0
+        # keep leaf op events; drop module/step meta-spans that cover
+        # everything and would double-count
+        and not str(e.get("name", "")).startswith(("jit_", "pjit"))
+    ]
+    if not ops:
+        return {}
+
+    def intervals(pred):
+        iv = sorted(
+            (e["ts"], e["ts"] + e["dur"]) for e in ops if pred(e["name"])
+        )
+        merged: List[List[float]] = []
+        for s, t in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], t)
+            else:
+                merged.append([s, t])
+        return merged
+
+    def total(merged):
+        return sum(t - s for s, t in merged)
+
+    def overlap(a, b):
+        out, i, j = 0.0, 0, 0
+        while i < len(a) and j < len(b):
+            s = max(a[i][0], b[j][0])
+            t = min(a[i][1], b[j][1])
+            if t > s:
+                out += t - s
+            if a[i][1] < b[j][1]:
+                i += 1
+            else:
+                j += 1
+        return out
+
+    coll_keys = (
+        "all-to-all", "all-gather", "all-reduce", "collective-permute",
+        "reduce-scatter",
+    )
+    move_keys = ("copy", "gather", "scatter", "dynamic-slice",
+                 "dynamic-update-slice")
+
+    lo = min(e["ts"] for e in ops)
+    hi = max(e["ts"] + e["dur"] for e in ops)
+    span = hi - lo
+    all_iv = intervals(lambda n: True)
+    coll_iv = intervals(lambda n: any(k in n for k in coll_keys))
+    comp_iv = intervals(lambda n: not any(k in n for k in coll_keys))
+    move = total(intervals(lambda n: any(k in n for k in move_keys)))
+    busy = total(all_iv)
+    coll = total(coll_iv)
+    return {
+        "device_busy_pct": round(100 * busy / span, 1) if span else 0.0,
+        "collective_pct_of_busy": round(100 * coll / busy, 1) if busy else 0.0,
+        "collective_overlap_pct": (
+            round(100 * overlap(coll_iv, comp_iv) / coll, 1) if coll else 0.0
+        ),
+        "data_movement_pct_of_busy": (
+            round(100 * move / busy, 1) if busy else 0.0
+        ),
+    }
+
+
 def device_memory_stats() -> Dict[str, Dict[str, int]]:
     """Per-device memory stats (bytes), where the backend reports them."""
     out: Dict[str, Dict[str, int]] = {}

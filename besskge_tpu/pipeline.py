@@ -101,6 +101,7 @@ class AllScoresPipeline:
         ws = self.bess_module.window_size
         max_e = sharding.max_entity_per_shard
         packed_tab = bool(getattr(score_fn, "packed_entity_storage", False))
+        self._packed_tab = packed_tab
         row_cap = max_e + (max_e % 2) if packed_tab else max_e
         contiguous = ws <= row_cap and not (packed_tab and ws % 2)
         col_ids = []
@@ -144,6 +145,14 @@ class AllScoresPipeline:
 
     def forward(self, params: Dict[str, Any]) -> Dict[str, Any]:
         """Run the full pipeline over one epoch of the batch sampler."""
+        from besskge_tpu.packed import is_packed
+
+        if bool(is_packed(params["entity_embedding"])) != self._packed_tab:
+            raise ValueError(
+                "entity table packedness changed after pipeline "
+                "construction — the stitched-column map was built for "
+                f"packed={self._packed_tab}; rebuild the AllScoresPipeline"
+            )
         scores, ids, metrics, ranks, topk_ids = [], [], [], [], []
         n_triple = 0
         n_step = self.bess_module.n_step

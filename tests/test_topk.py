@@ -367,3 +367,89 @@ def test_topk_non_divisible_entities_padding_killed():
         orig = pts.triple_sort_idx[batch["triple_idx"].reshape(-1)[mask]]
         np.testing.assert_array_equal(ids[mask], golden_topk[orig])
         break
+
+
+def test_topk_bf16_compute_matches_fp32_completions():
+    """compute_dtype=bf16 must be honored by the TopK window loop (gathered
+    window + query embeddings cast before scoring; fp32 merge) and return
+    essentially the same completions on a well-separated toy table."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from besskge_tpu.parallel.mesh import param_partition_specs, shard_params
+
+    score_fn = ComplEx(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=EMB,
+        entity_initializer=entity_table,
+        relation_initializer=relation_table,
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=SEED)
+
+    def run(cd):
+        score_fn.compute_dtype = cd
+        topk = TopKQueryBessKGE(
+            k=10, candidate_sampler=ns, score_fn=score_fn, window_size=32
+        )
+        mesh = make_shard_mesh(N_SHARD)
+        params = shard_params(
+            {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()},
+            mesh,
+        )
+        fwd = jax.jit(
+            jax.shard_map(
+                lambda p, r, h: topk.forward(p, r, head=h),
+                mesh=mesh,
+                in_specs=(
+                    param_partition_specs(params),
+                    P("shard"),
+                    P("shard"),
+                ),
+                out_specs=P("shard"),
+                check_vma=False,
+            )
+        )
+        rel = jnp.asarray(np.tile(query_r, N_SHARD), jnp.int32)
+        head = jnp.asarray(np.tile(h_loc, N_SHARD), jnp.int32)
+        out = fwd(params, rel, head)
+        score_fn.compute_dtype = None
+        return np.asarray(out["topk_global_id"])
+
+    # shard-correct queries: shard s's local head id h_loc[q] refers to the
+    # global entity shard_and_idx_to_entity[s, h_loc[q]]
+    local_rng = np.random.default_rng(SEED + 9)
+    h_loc = local_rng.integers(
+        0, sharding.shard_counts.min(), N_QUERY
+    ).astype(np.int32)
+    h_glob = np.concatenate(
+        [sharding.shard_and_idx_to_entity[s, h_loc] for s in range(N_SHARD)]
+    )
+    r_glob = np.tile(query_r, N_SHARD).astype(np.int32)
+
+    fp32 = run(None)
+    bf16 = run(jnp.bfloat16)
+
+    g_params = {"relation_embedding": jnp.asarray(relation_table)}
+    golden = np.asarray(
+        _score_fn().score_tails(
+            g_params,
+            jnp.asarray(flat_table[h_glob]),
+            jnp.asarray(r_glob),
+            jnp.asarray(flat_table)[None],
+        )
+    )
+    # bf16 ranking may swap near-ties; assert eps-optimality instead: the
+    # fp32 score of bf16's top-1 must be within bf16 rounding of the true
+    # optimum, and the top-k sets must mostly agree.
+    top1_true = golden.max(axis=1)
+    for got in (fp32, bf16):
+        top1 = np.take_along_axis(golden, got[:, :1], axis=1)[:, 0]
+        np.testing.assert_array_less(
+            top1_true - top1, 0.02 * np.abs(golden).max()
+        )
+    overlap = np.mean(
+        [len(np.intersect1d(a, b)) / a.size for a, b in zip(fp32, bf16)]
+    )
+    assert overlap > 0.8, overlap
