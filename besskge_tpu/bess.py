@@ -827,6 +827,11 @@ class TopKQueryBessKGE:
             negative_score = negative_score + BAD_NEGATIVE_SCORE * (
                 ~valid
             ).astype(negative_score.dtype)
+            # NB: an iterative-argmax top-n_best extraction (n_best
+            # elementwise passes instead of the padded bitonic sort) was
+            # measured SLOWER end-to-end at window 4000 — it breaks XLA's
+            # fusion of the scoring epilogue into the merge (L2: 114 ->
+            # 201 ms/batch). lax.top_k it is.
             merged = jnp.concatenate([negative_score, curr_score], axis=1)
             top_scores, top_pos = jax.lax.top_k(merged, n_best)
             idx_broad = jnp.broadcast_to(neg_ent_idx, negative_score.shape)

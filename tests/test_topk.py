@@ -93,7 +93,11 @@ def _run_batches(bs, fwd, params, collect):
         collect(batch, {k: np.asarray(v) for k, v in out.items()})
 
 
-def test_topk_vs_all_entities():
+@pytest.mark.parametrize("window", [50, 1600])
+def test_topk_vs_all_entities(window):
+    # window 50: many windows, clamped final window.
+    # window 1600 (> n_entity/shard): one mostly-invalid window through the
+    # gather fallback (the contiguous load requires window <= table rows).
     score_fn = _score_fn()
     queries = np.stack([query_h, query_r], 1).astype(np.int32)
     pts = PartitionedTripleSet.create_from_queries(
@@ -110,7 +114,7 @@ def test_topk_vs_all_entities():
         score_fn=score_fn,
         evaluation=Evaluation(["mrr"], worst_rank_infty=True, reduction="none"),
         return_scores=True,
-        window_size=50,
+        window_size=window,
     )
     fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
     params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
