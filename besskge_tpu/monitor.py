@@ -106,7 +106,11 @@ def trace_breakdown(run, log_dir: str) -> Dict[str, Any]:
     if not paths:
         return {}
     events = json.load(gzip.open(paths[-1]))["traceEvents"]
+    return parse_trace_events(events)
 
+
+def parse_trace_events(events) -> Dict[str, Any]:
+    """The pure parsing half of :func:`trace_breakdown` (unit-testable)."""
     device_pids = {
         e["pid"]
         for e in events
