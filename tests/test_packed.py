@@ -313,3 +313,78 @@ def test_topk_packed_table_matches_plain():
     plain = run(False)
     packed = run(True)
     np.testing.assert_array_equal(plain, packed)
+
+
+def test_scoremoving_eval_packed_matches_plain():
+    """ScoreMovingBessKGE candidate evaluation over a packed bf16 table
+    returns the same metrics as over the plain bf16 table (the wikikg2
+    capacity recipe's validation path)."""
+    from besskge_tpu.batch_sampler import RigidShardedBatchSampler
+    from besskge_tpu.bess import ScoreMovingBessKGE, build_bess_forward
+    from besskge_tpu.dataset import KGDataset
+    from besskge_tpu.metric import Evaluation
+    from besskge_tpu.negative_sampler import TripleBasedShardedNegativeSampler
+    from besskge_tpu.parallel import make_shard_mesh
+    from besskge_tpu.scoring import TransE
+    from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+
+    rng = np.random.default_rng(17)
+    n_entity, n_shard, n_tri, n_neg = 240, 4, 96, 20
+    tri = np.stack(
+        [
+            rng.integers(n_entity, size=n_tri),
+            rng.integers(5, size=n_tri),
+            rng.integers(n_entity, size=n_tri),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    nh = rng.integers(n_entity, size=(n_tri, n_neg)).astype(np.int32)
+    nt = rng.integers(n_entity, size=(n_tri, n_neg)).astype(np.int32)
+    ds = KGDataset(
+        n_entity=n_entity, n_relation_type=5, entity_dict=None,
+        relation_dict=None, type_offsets=None,
+        triples={"valid": tri},
+        original_triple_ids={"valid": np.arange(n_tri)},
+        neg_heads={"valid": nh}, neg_tails={"valid": nt},
+    )
+    sharding = Sharding.create(n_entity, n_shard, seed=17)
+    mesh = make_shard_mesh(n_shard)
+
+    def run(packed_storage):
+        pts = PartitionedTripleSet.create_from_dataset(ds, "valid", sharding)
+        sf = TransE(
+            negative_sample_sharing=False, scoring_norm=1,
+            sharding=sharding, n_relation_type=5, embedding_size=128,
+            seed=17,
+        )
+        sf.dtype = jnp.bfloat16
+        sf.packed_entity_storage = packed_storage
+        ns = TripleBasedShardedNegativeSampler(
+            pts.neg_heads, pts.neg_tails, sharding,
+            corruption_scheme="ht", seed=17,
+        )
+        bs = RigidShardedBatchSampler(
+            pts, ns, shard_bs=16, batches_per_step=2, seed=17,
+            duplicate_batch=True,
+        )
+        ev = Evaluation(["mrr", "hits@10"], reduction="sum")
+        bess = ScoreMovingBessKGE(
+            negative_sampler=ns, score_fn=sf, evaluation=ev,
+        )
+        fwd = build_bess_forward(bess, mesh)
+        params = sf.initial_params()
+        if packed_storage:
+            assert pk.is_packed(params["entity_embedding"])
+        totals = np.zeros(2)
+        n_q = 0
+        for batch in bs.get_dataloader(shuffle=False):
+            out = fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+            totals += np.asarray(out["metrics"], np.float64).reshape(
+                -1, 2
+            ).sum(0)
+            n_q += int(batch["triple_mask"].sum())
+        return totals / n_q
+
+    plain = run(False)
+    packed = run(True)
+    np.testing.assert_allclose(packed, plain, rtol=1e-6, atol=1e-7)
