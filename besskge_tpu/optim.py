@@ -39,6 +39,57 @@ def _flat(table: jnp.ndarray) -> jnp.ndarray:
     return table[0] if table.ndim == 3 else table
 
 
+def _is_16bit_table(table: jnp.ndarray) -> bool:
+    from besskge_tpu.packed import is_packed
+
+    t = _flat(table)
+    return bool(is_packed(t)) or t.dtype == jnp.bfloat16
+
+
+def _sr_round_bf16(
+    rows: jnp.ndarray, idx: jnp.ndarray, count: jnp.ndarray
+) -> jnp.ndarray:
+    """Stochastically round fp32 rows to bf16.
+
+    Round-to-nearest silently DROPS updates smaller than half a bf16 ulp of
+    the weight (~0.2% relative): at typical KGE learning rates the per-step
+    delta is far below that, and a bf16-stored table simply stops learning.
+    The reference's fp16 recipe trains fine because Graphcore IPUs apply
+    HARDWARE stochastic rounding to fp16 arithmetic; this is the TPU
+    software equivalent for the sparse row-update path: tiny updates land
+    with probability proportional to their size, so the EXPECTED weight
+    follows the fp32 trajectory.
+
+    Mechanics: bf16 is the top 16 bits of fp32, so adding a uniform
+    r ∈ [0, 2^16) to the fp32 bit pattern and truncating implements exact
+    SR (the carry ripples through mantissa/exponent correctly; sign-
+    magnitude makes it symmetric for negatives). Randomness is a
+    counter-based hash of (row id, lane, step count) — stateless, and
+    duplicate occurrences of a row hash identically, preserving the
+    duplicate-writes-byte-identical contract the racing DMAs rely on.
+    """
+    bits = jax.lax.bitcast_convert_type(rows.astype(jnp.float32), jnp.uint32)
+    lane = jnp.arange(rows.shape[-1], dtype=jnp.uint32)[None, :]
+    x = (
+        idx.astype(jnp.uint32)[:, None] * jnp.uint32(2654435761)
+        ^ lane * jnp.uint32(0x9E3779B9)
+        ^ count.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    )
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    sr = jax.lax.bitcast_convert_type(
+        ((bits + (x & jnp.uint32(0xFFFF))) >> 16).astype(jnp.uint16),
+        jnp.bfloat16,
+    )
+    # inf/nan payloads must not pick up carries
+    return jnp.where(
+        jnp.isfinite(rows), sr, rows.astype(jnp.bfloat16)
+    )
+
+
 def _apply_rows(
     table: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray
 ) -> jnp.ndarray:
@@ -155,6 +206,8 @@ class RowAdamW(EntityRowOptimizer):
     b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
+    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    stochastic_rounding: bool = True
 
     def init(self, table):
         return {
@@ -178,6 +231,8 @@ class RowAdamW(EntityRowOptimizer):
             mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p_rows
         )
         new_rows = p_rows - upd  # dtype handled by _apply_rows (packed-aware)
+        if self.stochastic_rounding and _is_16bit_table(table):
+            new_rows = _sr_round_bf16(new_rows, idx, count)
         return (
             _apply_rows(table, idx, new_rows),
             {
@@ -196,6 +251,8 @@ class RowSGDM(EntityRowOptimizer):
     learning_rate: float
     momentum: float = 0.9
     weight_decay: float = 0.0
+    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    stochastic_rounding: bool = True
 
     def init(self, table):
         if self.momentum == 0.0:
@@ -216,6 +273,8 @@ class RowSGDM(EntityRowOptimizer):
             new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
         new_rows = p_rows - self.learning_rate * g  # dtype in _apply_rows
+        if self.stochastic_rounding and _is_16bit_table(table):
+            new_rows = _sr_round_bf16(new_rows, idx, new_state["count"])
         return _apply_rows(table, idx, new_rows), new_state
 
 
@@ -225,6 +284,8 @@ class RowAdagrad(EntityRowOptimizer):
 
     learning_rate: float
     eps: float = 1e-10
+    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    stochastic_rounding: bool = True
 
     def init(self, table):
         return {
@@ -239,6 +300,8 @@ class RowAdagrad(EntityRowOptimizer):
         new_rows = (
             p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
         )  # dtype handled by _apply_rows (packed-aware)
+        if self.stochastic_rounding and _is_16bit_table(table):
+            new_rows = _sr_round_bf16(new_rows, idx, state["count"] + 1)
         return (
             _apply_rows(table, idx, new_rows),
             {

@@ -327,3 +327,103 @@ def test_sparse_mesh_step_hlo_flat_in_bps():
 
     small, large = hlo_len(2), hlo_len(16)
     assert large < 1.5 * small, (small, large)
+
+
+# ---------------------------------------------------------------------------
+# stochastic rounding into 16-bit tables
+# ---------------------------------------------------------------------------
+
+
+def test_sr_round_bf16_is_unbiased_and_progresses():
+    """SR must (a) be unbiased in expectation over step counts and (b) let
+    sub-ulp updates make progress where round-to-nearest freezes."""
+    import jax.numpy as jnp
+
+    from besskge_tpu.optim import _sr_round_bf16
+
+    idx = jnp.arange(4, dtype=jnp.int32)
+    target = np.full((4, 128), 1.0 + 2.0 ** -10, np.float32)  # between ulps
+    rows = jnp.asarray(target)
+    # (a) unbiased: average over many counts converges to the fp32 value
+    acc = np.zeros_like(target, np.float64)
+    n = 400
+    for c in range(n):
+        acc += np.asarray(
+            _sr_round_bf16(rows, idx, jnp.asarray(c, jnp.int32)),
+            np.float32,
+        )
+    # per-element: binomial noise ~ ulp*0.5/sqrt(n) ~ 1e-4 -> 6 sigma
+    np.testing.assert_allclose(acc / n, target, rtol=8e-4)
+    # global mean: noise ~ 4e-6 -> tight unbiasedness check
+    np.testing.assert_allclose((acc / n).mean(), target.mean(), rtol=2e-5)
+    # RN by comparison collapses to exactly 1.0 (drops the 2^-10)
+    assert (np.asarray(rows.astype(jnp.bfloat16), np.float32) == 1.0).all()
+
+    # (b) progress: repeated tiny decrements move the stored bf16 value
+    import ml_dtypes
+
+    w = jnp.asarray(np.ones((4, 128), ml_dtypes.bfloat16))
+    for c in range(300):
+        new = w.astype(jnp.float32) - 1e-4  # ~1/40 ulp at 1.0
+        w = _sr_round_bf16(new, idx, jnp.asarray(c, jnp.int32))
+    moved = float(np.mean(np.asarray(w, np.float32)))
+    assert moved < 0.985, moved  # expected ~0.97; RN would stay at 1.0
+
+
+def test_sr_duplicate_occurrences_identical():
+    """Duplicate row occurrences must round to byte-identical values (the
+    racing-DMA contract)."""
+    import jax.numpy as jnp
+
+    from besskge_tpu.optim import _sr_round_bf16
+
+    rng = np.random.default_rng(0)
+    row = rng.normal(size=(1, 128)).astype(np.float32)
+    rows = jnp.asarray(np.repeat(row, 3, axis=0))
+    idx = jnp.asarray(np.array([7, 7, 7], np.int32))
+    out = np.asarray(
+        _sr_round_bf16(rows, idx, jnp.asarray(5, jnp.int32)), np.float32
+    )
+    assert (out == out[0]).all()
+
+
+def test_sparse_bf16_training_learns_with_sr():
+    """End-to-end: with lr far below the bf16 ulp, a packed-table RowSGDM
+    trajectory must still track the fp32 trajectory in expectation (it
+    freezes with stochastic_rounding=False)."""
+    import jax.numpy as jnp
+
+    import besskge_tpu.packed as pk
+    from besskge_tpu.optim import RowSGDM
+
+    rng = np.random.default_rng(1)
+    n, d, lr = 32, 128, 1e-4
+    tab32 = (rng.normal(size=(n, d)) * 2).astype(np.float32)
+
+    def run(table, sr):
+        opt = RowSGDM(learning_rate=lr, momentum=0.0,
+                      stochastic_rounding=sr)
+        state = opt.init(table)
+        for step in range(400):
+            srng = np.random.default_rng(1000 + step)
+            idx = jnp.asarray(np.arange(n, dtype=np.int32))
+            grads = jnp.asarray(
+                np.ones((n, d), np.float32)
+            )  # constant pull: fp32 moves by lr each step
+            table, state = opt.update_rows(table, state, idx, grads)
+        if pk.is_packed(table):
+            return np.asarray(pk.unpack_table(table, n).astype(jnp.float32))
+        return np.asarray(table.astype(jnp.float32))
+
+    # SR: the MEAN movement matches the fp32 drift of -400*lr = -0.04
+    # (per-element it is a random walk with ~ulp-sized steps; the mean over
+    # 32*128 elements has noise ~1e-3)
+    with_sr = run(pk.pack_table(jnp.asarray(tab32)), True)
+    without = run(pk.pack_table(jnp.asarray(tab32)), False)
+    move_sr = (with_sr - tab32.astype(np.float32)).mean()
+    np.testing.assert_allclose(move_sr, -400 * lr, atol=8e-3)
+    # round-to-nearest freezes: per-step 1e-4 is far below ulp(|w|~2)
+    move_rn = np.abs(without - np.asarray(
+        pk.unpack_table_host(np.asarray(pk.pack_table(jnp.asarray(tab32))), 32),
+        np.float32)).mean()
+    assert move_rn < 0.004, move_rn
