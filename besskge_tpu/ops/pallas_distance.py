@@ -28,19 +28,40 @@ from jax.experimental import pallas as pl
 __all__ = ["l1_distance_matrix", "l1_distance_grads"]
 
 
-def _l1_kernel(a_ref, b_ref, o_ref):
-    # a_ref: (TB, D), b_ref: (TN, D), o_ref: (TB, TN).
+def _l1_kernel(a_ref, bt_ref, o_ref, *, db: int):
+    # a_ref: (TB, D), bt_ref: (D, TN) — candidates TRANSPOSED so entities sit
+    # in the lane dimension and d in sublanes.  The d-reduction is then a
+    # sublane-axis elementwise add chain instead of a cross-lane shuffle
+    # tree; measured 1.2-1.6x the (TN, D)-layout kernel at topk-window
+    # shapes (dispatch-amortized, biggest at small d), ~2.6x off the VPU
+    # 3-op elementwise floor at (512, 4000, 128).
     # Subtract/abs in the input dtype (bf16 runs at 2x VPU width);
-    # accumulate the reduction in fp32.
-    a = a_ref[:]
-    b = b_ref[:]
-    # (TB, TN, D) lives in VMEM/registers only for this tile.
-    diff = jnp.abs(a[:, None, :] - b[None, :, :])
-    o_ref[:] = jnp.sum(diff, axis=-1, dtype=jnp.float32).astype(o_ref.dtype)
+    # accumulate the reduction in fp32.  Chunks over d are statically
+    # unrolled (dynamic sublane slices don't lower on this Mosaic version).
+    d = a_ref.shape[1]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for start in range(0, d, db):
+        width = min(db, d - start)
+        a_blk = a_ref[:, start:start + width]        # (TB, width)
+        b_blk = bt_ref[start:start + width, :]       # (width, TN)
+        diff = jnp.abs(a_blk[:, :, None] - b_blk[None, :, :])
+        acc = acc + jnp.sum(diff, axis=1, dtype=jnp.float32)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _d_chunk(d: int) -> int:
+    """Reduction chunk: full-d wins up to 256; beyond that bound the
+    (TB, db, TN) broadcast temp with the largest power-of-two divisor."""
+    if d <= 256:
+        return d
+    for c in (256, 128, 64, 32, 16, 8):
+        if d % c == 0:
+            return c
+    return d
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -55,22 +76,22 @@ def l1_distance_matrix(
     """
     B, d = a.shape
     N = b.shape[0]
-    TB = min(128, _round_up(B, 8))
-    TN = min(256, _round_up(N, 128))
+    TB = min(8, _round_up(B, 8))
+    TN = min(1024, _round_up(N, 128))
     Bp, Np = _round_up(B, TB), _round_up(N, TN)
     a_p = jnp.pad(a, ((0, Bp - B), (0, 0)))
-    b_p = jnp.pad(b, ((0, Np - N), (0, 0)))
+    bt_p = jnp.pad(b, ((0, Np - N), (0, 0))).T  # (d, Np)
     out = pl.pallas_call(
-        _l1_kernel,
+        functools.partial(_l1_kernel, db=_d_chunk(d)),
         out_shape=jax.ShapeDtypeStruct((Bp, Np), a.dtype),
         grid=(Bp // TB, Np // TN),
         in_specs=[
             pl.BlockSpec((TB, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((TN, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((d, TN), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((TB, TN), lambda i, j: (i, j)),
         interpret=interpret,
-    )(a_p, b_p)
+    )(a_p, bt_p)
     return out[:B, :N]
 
 
