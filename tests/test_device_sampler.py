@@ -346,11 +346,15 @@ def test_steps_per_call_fusion_matches_stepwise():
     assert np.isfinite(float(out["loss"]))
 
 
-def test_steps_per_call_requires_dense_update():
+def test_sparse_steps_per_call_fusion_matches_stepwise():
+    """K fused SPARSE steps (in-place row updates threaded through the scan
+    carry) must land on the same params as K separate dispatches — the scan
+    carry must alias, not copy, the table and the moment buffers."""
     from besskge_tpu.optim import RowAdamW
-    from besskge_tpu.trainer import build_device_train_step
+    from besskge_tpu.trainer import build_device_train_step, init_optimizer_state
+    from besskge_tpu.parallel.mesh import replicate_tree, shard_params
 
-    _, sharding, pts, ns, dev = _setup()
+    _, sharding, pts, ns, dev = _setup(shard_bs=16, bps=1)
     score = TransE(
         negative_sample_sharing=True, scoring_norm=1, sharding=sharding,
         n_relation_type=N_RELATION, embedding_size=16, seed=SEED,
@@ -360,9 +364,40 @@ def test_steps_per_call_requires_dense_update():
         loss_fn=LogSigmoidLoss(margin=2.0,
                                negative_adversarial_sampling=False),
     )
-    with pytest.raises(ValueError, match="steps_per_call"):
-        build_device_train_step(
-            bess, optax.adamw(1e-3), dev, make_shard_mesh(N_SHARD),
-            entity_optimizer=RowAdamW(1e-3),
-            steps_per_call=2,
+    mesh = make_shard_mesh(N_SHARD)
+    opt = optax.sgd(0.5)
+    row = RowAdamW(1e-2)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in score.initial_params().items()}, mesh
+    )
+    state = replicate_tree(dev.state(), mesh)
+
+    step1 = build_device_train_step(
+        bess, opt, dev, mesh, entity_optimizer=row, donate=False
+    )
+    stepK = build_device_train_step(
+        bess, opt, dev, mesh, entity_optimizer=row, donate=False,
+        steps_per_call=3,
+    )
+
+    p_a = params
+    o_a = init_optimizer_state(opt, params, mesh, entity_optimizer=row)
+    base = dev.next_key(0)
+    keys = jax.random.split(base, 3)
+    for k in keys:
+        p_a, o_a, _ = step1(p_a, o_a, state, k)
+
+    p_b, o_b, out = stepK(
+        params, init_optimizer_state(opt, params, mesh, entity_optimizer=row),
+        state, base,
+    )
+    for name in p_a:
+        np.testing.assert_allclose(
+            np.asarray(p_a[name]), np.asarray(p_b[name]), rtol=2e-5,
+            atol=2e-6, err_msg=name,
         )
+    np.testing.assert_allclose(
+        np.asarray(o_a["entity"]["mu"]), np.asarray(o_b["entity"]["mu"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    assert np.isfinite(float(out["loss"]))
