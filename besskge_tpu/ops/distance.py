@@ -6,14 +6,24 @@ C++ op in poptorch-experimental-addons). On TPU:
 
 * p=2 is decomposed as ``sqrt(|a|² + |b|² − 2·a@bᵀ)`` so the dominant cost is
   a single MXU matmul — this IS the speed-of-light formulation on TPU;
-* p=1 uses a tiled broadcast reduction (VPU-bound); a Pallas kernel with
-  double-buffered streaming over the candidate pool replaces it for large
-  pools (see :mod:`besskge_tpu.ops.pallas_distance`).
+* p=1 uses a tiled broadcast reduction (VPU-bound); tiled Mosaic kernels
+  (:mod:`besskge_tpu.ops.pallas_distance`) replace it for large candidate
+  pools and for vmapped training micro-batches.
+
+AD/batching composition: ``jax.custom_batching.custom_vmap`` does not
+support reverse-mode AD through it, so the p=1 dispatch is structured as a
+``custom_vjp`` whose forward AND backward are each ``custom_vmap``
+dispatchers. Under the trainer's ``vmap(micro_batch)(…vjp inside…)`` the
+vmap batches the custom_vjp's fwd/bwd bodies, hitting the custom_vmap
+rules (pure batching, no AD inside), which route to explicitly-batched
+Mosaic kernels — ``jax.vmap`` of a ``pallas_call`` rank-lifts the kernel
+jaxpr in ways Mosaic cannot lower.
 """
 
 from __future__ import annotations
 
 import jax
+import jax.custom_batching
 import jax.numpy as jnp
 
 __all__ = ["p_distance_matrix"]
@@ -22,36 +32,116 @@ __all__ = ["p_distance_matrix"]
 #: candidate coincides with the query).
 _EPS = 1e-12
 
+#: Above this B·N·d, route an UNBATCHED p=1 call to the Mosaic kernels
+#: instead of the XLA broadcast fusion (TopK/AllScores windows).
+_PALLAS_MIN_ELEMS = 1 << 26
+#: Batched (vmapped micro-batch) PER-GROUP threshold. Measured end-to-end:
+#: at wikikg2 training shapes (8 × 256 × 288 × 128) the batched kernels
+#: LOSE to XLA's broadcast fusion (2.13M → 1.38M triples/s) — per-program
+#: launch overhead and 288→384 lane padding outweigh the reduction-layout
+#: win, which only pays off at inference-window-sized pools.
+_PALLAS_MIN_ELEMS_BATCHED = _PALLAS_MIN_ELEMS
+
 
 def _l1_broadcast(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # NOTE: logical relayouts of this expression (reducing a (B, d, N)
+    # middle dim, fp32 accumulation) are canonicalized away by XLA's layout
+    # assignment — measured byte-identical fusions in the training step.
+    # Beating it requires the explicit Mosaic kernels.
     return jnp.sum(jnp.abs(a[:, None, :] - b[None, :, :]), axis=-1)
 
 
+def _l1_grads_formula(a, b, g):
+    """Explicit sign-subgradient VJP of :func:`_l1_broadcast` (fp32).
+
+    Same tie convention as the Mosaic kernels: ``sign(0) = 0`` where a
+    query coordinate exactly equals a candidate's (XLA's autodiff of
+    ``abs`` is select-based and yields ``+g`` there; both are valid).
+    """
+    s = jnp.sign(
+        a.astype(jnp.float32)[:, None, :] - b.astype(jnp.float32)[None, :, :]
+    )
+    da = jnp.sum(g[:, :, None] * s, axis=1)
+    db = -jnp.sum(g[:, :, None] * s, axis=0)
+    return da, db
+
+
+@jax.custom_batching.custom_vmap
+def _l1_fwd_dispatch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Size-gated p=1 forward: XLA's fused broadcast wins while the
+    (B, N, d) intermediate is fusion-sized; the tiled Mosaic kernel takes
+    over for large candidate pools."""
+    if a.shape[0] * b.shape[0] * a.shape[-1] >= _PALLAS_MIN_ELEMS:
+        from besskge_tpu.ops.pallas_distance import l1_distance_matrix
+
+        return l1_distance_matrix(a, b)
+    return _l1_broadcast(a, b)
+
+
+@_l1_fwd_dispatch.def_vmap
+def _l1_fwd_vmap_rule(axis_size, in_batched, a, b):
+    a_b, b_b = in_batched
+    if not a_b:
+        a = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size, *b.shape))
+    # No backend re-check: _l1_tpu is only reached on TPU (tests force these
+    # rules on CPU with interpret-mode kernels by zeroing the threshold).
+    per_group = a.shape[1] * b.shape[1] * a.shape[-1]
+    if per_group >= _PALLAS_MIN_ELEMS_BATCHED:
+        from besskge_tpu.ops.pallas_distance import l1_distance_matrix_batched
+
+        return l1_distance_matrix_batched(a, b), True
+    return jax.vmap(_l1_broadcast)(a, b), True
+
+
+@jax.custom_batching.custom_vmap
+def _l1_bwd_dispatch(a, b, g):
+    """Size-gated p=1 backward. The Mosaic kernel matters even more here:
+    XLA's evaluation of the two sign-reductions materializes the (B, N, d)
+    sign tensor in HBM (the axis-0 reduction defeats fusion) — ~1 GB/step
+    at wikikg2 bench shapes; the kernel keeps each tile in VMEM."""
+    if a.shape[0] * b.shape[0] * a.shape[-1] >= _PALLAS_MIN_ELEMS:
+        from besskge_tpu.ops.pallas_distance import l1_distance_grads
+
+        return l1_distance_grads(a, b, g)
+    return _l1_grads_formula(a, b, g)
+
+
+@_l1_bwd_dispatch.def_vmap
+def _l1_bwd_vmap_rule(axis_size, in_batched, a, b, g):
+    a_b, b_b, g_b = in_batched
+    if not a_b:
+        a = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+    if not b_b:
+        b = jnp.broadcast_to(b[None], (axis_size, *b.shape))
+    if not g_b:
+        g = jnp.broadcast_to(g[None], (axis_size, *g.shape))
+    per_group = a.shape[1] * b.shape[1] * a.shape[-1]
+    if per_group >= _PALLAS_MIN_ELEMS_BATCHED:
+        from besskge_tpu.ops.pallas_distance import l1_distance_grads_batched
+
+        return l1_distance_grads_batched(a, b, g), (True, True)
+    return jax.vmap(_l1_grads_formula)(a, b, g), (True, True)
+
+
 @jax.custom_vjp
-def _l1_pallas(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    from besskge_tpu.ops.pallas_distance import l1_distance_matrix
-
-    return l1_distance_matrix(a, b)
-
-
-def _l1_fwd(a, b):
-    return _l1_pallas(a, b), (a, b)
+def _l1_tpu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """TPU p=1 entry point: custom VJP over batching-aware dispatchers."""
+    return _l1_fwd_dispatch(a, b)
 
 
-def _l1_bwd(res, g):
+def _l1_tpu_fwd(a, b):
+    return _l1_fwd_dispatch(a, b), (a, b)
+
+
+def _l1_tpu_bwd(res, g):
     a, b = res
-    # Fused tiled kernel: XLA's evaluation of these two sign-reductions
-    # materializes the (B, N, d) sign tensor in HBM (the axis-0 reduction
-    # defeats fusion) — ~1 GB/step at wikikg2 bench shapes. The Pallas
-    # kernel keeps the tile in VMEM. Only reached when the forward took the
-    # Pallas path (same size gate), so no second dispatch here.
-    from besskge_tpu.ops.pallas_distance import l1_distance_grads
-
-    da, db = l1_distance_grads(a, b, g.astype(jnp.float32))
+    da, db = _l1_bwd_dispatch(a, b, g.astype(jnp.float32))
     return da.astype(a.dtype), db.astype(b.dtype)
 
 
-_l1_pallas.defvjp(_l1_fwd, _l1_bwd)
+_l1_tpu.defvjp(_l1_tpu_fwd, _l1_tpu_bwd)
 
 
 def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -70,13 +160,7 @@ def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:
         sq = jnp.maximum(a2 + b2 - 2.0 * ab, _EPS)
         return jnp.sqrt(sq).astype(a.dtype)
     if p == 1:
-        # XLA's fused broadcast wins while the (B, N, d) intermediate is
-        # fusion-sized; the Pallas tiled kernel takes over when it would
-        # spill to HBM (large candidate pools).
-        if (
-            jax.default_backend() == "tpu"
-            and a.shape[0] * b.shape[0] * a.shape[-1] >= (1 << 26)
-        ):
-            return _l1_pallas(a, b)
+        if jax.default_backend() == "tpu":
+            return _l1_tpu(a, b)
         return _l1_broadcast(a, b)
     raise ValueError(f"Unsupported distance order p={p}")

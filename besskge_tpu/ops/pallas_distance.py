@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["l1_distance_matrix", "l1_distance_grads"]
+__all__ = [
+    "l1_distance_matrix",
+    "l1_distance_grads",
+    "l1_distance_matrix_batched",
+    "l1_distance_grads_batched",
+]
 
 
 def _l1_kernel(a_ref, bt_ref, o_ref, *, db: int):
@@ -35,17 +40,22 @@ def _l1_kernel(a_ref, bt_ref, o_ref, *, db: int):
     # tree; measured 1.2-1.6x the (TN, D)-layout kernel at topk-window
     # shapes (dispatch-amortized, biggest at small d), ~2.6x off the VPU
     # 3-op elementwise floor at (512, 4000, 128).
-    # Subtract/abs in the input dtype (bf16 runs at 2x VPU width);
-    # accumulate the reduction in fp32.  Chunks over d are statically
-    # unrolled (dynamic sublane slices don't lower on this Mosaic version).
+    # Chunks over d are statically unrolled (dynamic sublane slices don't
+    # lower on this Mosaic version).
     d = a_ref.shape[1]
+    tb, tn = o_ref.shape
     acc = jnp.zeros(o_ref.shape, jnp.float32)
     for start in range(0, d, db):
         width = min(db, d - start)
-        a_blk = a_ref[:, start:start + width]        # (TB, width)
-        b_blk = bt_ref[start:start + width, :]       # (width, TN)
-        diff = jnp.abs(a_blk[:, :, None] - b_blk[None, :, :])
-        acc = acc + jnp.sum(diff, axis=1, dtype=jnp.float32)
+        # fp32 for the rank-3 broadcast: Mosaic cannot insert a non-no-op
+        # minor dim on 16-bit types (free for fp32 inputs; for bf16 the
+        # reduction accumulates fp32 anyway, so only sub/abs lose the
+        # packed width).
+        a_blk = a_ref[:, start:start + width].astype(jnp.float32)
+        b_blk = bt_ref[start:start + width, :].astype(jnp.float32)
+        a3 = jax.lax.broadcast_in_dim(a_blk, (tb, width, tn), (0, 1))
+        b3 = jax.lax.broadcast_in_dim(b_blk, (tb, width, tn), (1, 2))
+        acc = acc + jnp.sum(jnp.abs(a3 - b3), axis=1)
     o_ref[:] = acc.astype(o_ref.dtype)
 
 
@@ -95,6 +105,65 @@ def l1_distance_matrix(
     return out[:B, :N]
 
 
+def _l1_kernel_b(a_ref, bt_ref, o_ref, *, db: int):
+    """Batched twin of :func:`_l1_kernel`: refs carry a leading unit block
+    dim mapped to the batch grid axis. Written explicitly because
+    ``jax.vmap`` of the 2-D kernel rewrites its jaxpr with batched operands
+    and Mosaic cannot lower the resulting rank-3 reshapes."""
+    d = a_ref.shape[-1]
+    tb, tn = o_ref.shape[-2:]
+    acc = jnp.zeros((tb, tn), jnp.float32)
+    for start in range(0, d, db):
+        width = min(db, d - start)
+        # fp32 rank-3 broadcast: see _l1_kernel (16-bit minor-dim limit).
+        a_blk = a_ref[0, :, start:start + width].astype(jnp.float32)
+        b_blk = bt_ref[0, start:start + width, :].astype(jnp.float32)
+        a3 = jax.lax.broadcast_in_dim(a_blk, (tb, width, tn), (0, 1))
+        b3 = jax.lax.broadcast_in_dim(b_blk, (tb, width, tn), (1, 2))
+        acc = acc + jnp.sum(jnp.abs(a3 - b3), axis=1)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def l1_distance_matrix_batched(
+    a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Per-group all-pairs L1 distance ``out[g, i, j] = ||a[g,i] − b[g,j]||_1``.
+
+    The batch dim is a grid axis (one kernel launch for all groups) — this
+    is the training-step form, where micro-batches are vmapped and each has
+    its own candidate pool.
+
+    :param a: (G, B, d) queries.
+    :param b: (G, N, d) candidates.
+    """
+    G, B, d = a.shape
+    N = b.shape[1]
+    # Bigger row tiles than the unbatched kernel: the batch grid already
+    # multiplies the program count, and per-program launch overhead (~µs)
+    # dominates at small tiles. Bound the (TB, db, TN) fp32 temp to ~4 MB.
+    TB = min(64, _round_up(B, 8))
+    TN = min(1024, _round_up(N, 128))
+    Bp, Np = _round_up(B, TB), _round_up(N, TN)
+    db = d
+    while db > 8 and TB * db * TN * 4 > (4 << 20):
+        db = (db + 1) // 2
+    a_p = jnp.pad(a, ((0, 0), (0, Bp - B), (0, 0)))
+    bt_p = jnp.pad(b, ((0, 0), (0, Np - N), (0, 0))).transpose(0, 2, 1)
+    out = pl.pallas_call(
+        functools.partial(_l1_kernel_b, db=db),
+        out_shape=jax.ShapeDtypeStruct((G, Bp, Np), a.dtype),
+        grid=(G, Bp // TB, Np // TN),
+        in_specs=[
+            pl.BlockSpec((1, TB, d), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, d, TN), lambda g, i, j: (g, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, TB, TN), lambda g, i, j: (g, i, j)),
+        interpret=interpret,
+    )(a_p, bt_p)
+    return out[:, :B, :N]
+
+
 def _l1_grad_kernel(a_ref, b_ref, g_ref, o_ref, *, reduce_axis):
     """Accumulate one tile of ``Σ g_ij · sign(a_i − b_j)`` over an axis.
 
@@ -104,13 +173,14 @@ def _l1_grad_kernel(a_ref, b_ref, g_ref, o_ref, *, reduce_axis):
     only) is revisited in consecutive steps — the Pallas
     output-accumulation pattern.
     """
-    a = a_ref[:]
-    b = b_ref[:]
-    # (TB, TN, d), VMEM-resident for this tile only. The difference runs in
-    # the input dtype (bf16 at 2x VPU width) but sign() is taken in fp32:
-    # Mosaic has no packed-bf16 compare ("Target does not support this
-    # comparison" on v5e), and the product accumulates fp32 anyway.
-    s = jnp.sign((a[:, None, :] - b[None, :, :]).astype(jnp.float32))
+    # fp32 at load: Mosaic cannot rank-lift 16-bit vectors at many tile
+    # shapes, has no packed-bf16 compare, and an fp32 subtract gives the
+    # same sign XLA's (internally widened) broadcast backward produces —
+    # a bf16 subtract can round a tiny difference to 0 and flip the sign.
+    a = a_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    # (TB, TN, d), VMEM-resident for this tile only.
+    s = jnp.sign(a[:, None, :] - b[None, :, :])
     if reduce_axis == 0:
         s = -s  # d|a − b|/db = −sign(a − b)
     contrib = jnp.sum(
@@ -131,6 +201,13 @@ def l1_distance_grads(
     a: jnp.ndarray, b: jnp.ndarray, g: jnp.ndarray, interpret: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Both VJPs of :func:`l1_distance_matrix` without an HBM (B, N, d) temp.
+
+    Tie convention: at coordinates where ``a[i,k] == b[j,k]`` exactly, the
+    subgradient is 0 (``sign(0) = 0``, matching ``jnp.sign``/torch autograd),
+    whereas XLA's autodiff of ``abs`` is select-based and yields ``+g``
+    there. Both are valid subgradients of ``|x|``; with bf16-valued inputs
+    exact ties are common, so comparisons against XLA autodiff must exclude
+    them.
 
     ``da[i] = Σ_j g[i, j] · sign(a[i] − b[j])`` and
     ``db[j] = −Σ_i g[i, j] · sign(a[i] − b[j])``, each as a tiled Pallas
@@ -180,3 +257,73 @@ def l1_distance_grads(
     )(a_p, b_p, g_p)
 
     return da[:B], db[:N]
+
+
+def _l1_grad_kernel_b(a_ref, b_ref, g_ref, o_ref, *, reduce_axis):
+    """Batched twin of :func:`_l1_grad_kernel` (leading unit block dim; the
+    accumulation grid axis is now program_id(2))."""
+    a = a_ref[0].astype(jnp.float32)  # fp32 at load: see _l1_grad_kernel
+    b = b_ref[0].astype(jnp.float32)
+    s = jnp.sign(a[:, None, :] - b[None, :, :])
+    if reduce_axis == 0:
+        s = -s
+    contrib = jnp.sum(
+        g_ref[0][..., None].astype(jnp.float32) * s,
+        axis=reduce_axis,
+        dtype=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    o_ref[0] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def l1_distance_grads_batched(
+    a: jnp.ndarray, b: jnp.ndarray, g: jnp.ndarray, interpret: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Both VJPs of :func:`l1_distance_matrix_batched`, per group.
+
+    :param a: (G, B, d) queries.
+    :param b: (G, N, d) candidates.
+    :param g: (G, B, N) cotangent.
+    :return: ``(da, db)`` in fp32, shapes (G, B, d) and (G, N, d).
+    """
+    G, B, d = a.shape
+    N = b.shape[1]
+    TB = min(128, _round_up(B, 8))
+    TN = min(128, _round_up(N, 128))
+    Bp, Np = _round_up(B, TB), _round_up(N, TN)
+    a_p = jnp.pad(a, ((0, 0), (0, Bp - B), (0, 0)))
+    b_p = jnp.pad(b, ((0, 0), (0, Np - N), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, Bp - B), (0, Np - N)))
+
+    da = pl.pallas_call(
+        functools.partial(_l1_grad_kernel_b, reduce_axis=1),
+        out_shape=jax.ShapeDtypeStruct((G, Bp, d), jnp.float32),
+        grid=(G, Bp // TB, Np // TN),
+        in_specs=[
+            pl.BlockSpec((1, TB, d), lambda gi, i, j: (gi, i, 0)),
+            pl.BlockSpec((1, TN, d), lambda gi, i, j: (gi, j, 0)),
+            pl.BlockSpec((1, TB, TN), lambda gi, i, j: (gi, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, TB, d), lambda gi, i, j: (gi, i, 0)),
+        interpret=interpret,
+    )(a_p, b_p, g_p)
+
+    db = pl.pallas_call(
+        functools.partial(_l1_grad_kernel_b, reduce_axis=0),
+        out_shape=jax.ShapeDtypeStruct((G, Np, d), jnp.float32),
+        grid=(G, Np // TN, Bp // TB),
+        in_specs=[
+            pl.BlockSpec((1, TB, d), lambda gi, j, i: (gi, i, 0)),
+            pl.BlockSpec((1, TN, d), lambda gi, j, i: (gi, j, 0)),
+            pl.BlockSpec((1, TB, TN), lambda gi, j, i: (gi, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, TN, d), lambda gi, j, i: (gi, j, 0)),
+        interpret=interpret,
+    )(a_p, b_p, g_p)
+
+    return da[:, :B], db[:, :N]

@@ -80,22 +80,22 @@ def test_l1_distance_grads_matches_autodiff_of_broadcast():
 
     def loss_pallas(a_, b_):
         # interpret-mode pallas fwd; bwd goes through l1_distance_grads
-        import functools
-
-        fwd = functools.partial(dist_mod._l1_pallas)
-        return jnp.sum(w * fwd(a_, b_))
+        return jnp.sum(w * dist_mod._l1_tpu(a_, b_))
 
     def loss_ref(a_, b_):
         return jnp.sum(w * dist_mod._l1_broadcast(a_, b_))
 
-    # interpret mode: patch the kernels' interpret flag via closures
+    # interpret mode: patch the kernels' interpret flag via closures, and
+    # zero the size gate so the kernel path is forced.
     import besskge_tpu.ops.pallas_distance as pd
 
     orig_mat, orig_grads = pd.l1_distance_matrix, pd.l1_distance_grads
+    orig_gate = dist_mod._PALLAS_MIN_ELEMS
     pd_interp_mat = lambda a_, b_: orig_mat(a_, b_, interpret=True)
     pd_interp_grads = lambda a_, b_, g_: orig_grads(a_, b_, g_, interpret=True)
     pd.l1_distance_matrix = pd_interp_mat
     pd.l1_distance_grads = pd_interp_grads
+    dist_mod._PALLAS_MIN_ELEMS = 0
     try:
         ga, gb = jax.grad(loss_pallas, argnums=(0, 1))(
             jnp.asarray(a), jnp.asarray(b)
@@ -106,6 +106,122 @@ def test_l1_distance_grads_matches_autodiff_of_broadcast():
     finally:
         pd.l1_distance_matrix = orig_mat
         pd.l1_distance_grads = orig_grads
+        dist_mod._PALLAS_MIN_ELEMS = orig_gate
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_l1_distance_matrix_batched_interpret():
+    from besskge_tpu.ops.pallas_distance import l1_distance_matrix_batched
+
+    rng = np.random.default_rng(6)
+    # Non-divisible B/N + a batch dim: each group has its own candidates.
+    a = rng.normal(size=(3, 37, 48)).astype(np.float32)
+    b = rng.normal(size=(3, 211, 48)).astype(np.float32)
+    got = np.asarray(
+        l1_distance_matrix_batched(jnp.asarray(a), jnp.asarray(b),
+                                   interpret=True)
+    )
+    exp = np.abs(a[:, :, None, :] - b[:, None, :, :]).sum(-1)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-4)
+
+
+def test_l1_distance_grads_batched_interpret():
+    from besskge_tpu.ops.pallas_distance import l1_distance_grads_batched
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(2, 256, 64)).astype(np.float32)
+    b = rng.normal(size=(2, 288, 64)).astype(np.float32)
+    g = rng.normal(size=(2, 256, 288)).astype(np.float32)
+    da, db = l1_distance_grads_batched(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(g), interpret=True
+    )
+    for gi in range(2):
+        eda, edb = _l1_grads_expected(a[gi], b[gi], g[gi])
+        np.testing.assert_allclose(np.asarray(da[gi]), eda, rtol=1e-5,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(db[gi]), edb, rtol=1e-5,
+                                   atol=1e-4)
+
+
+def test_l1_batched_vmap_rule_matches_broadcast():
+    """vmap of the TPU L1 dispatch routes through the custom-vmap rule; the
+    result (whichever kernel the gate picks) must match the per-group
+    broadcast formula, gradients included."""
+    from besskge_tpu.ops import distance as dist_mod
+    import besskge_tpu.ops.pallas_distance as pd
+
+    rng = np.random.default_rng(8)
+    a = rng.normal(size=(4, 24, 32)).astype(np.float32)
+    b = rng.normal(size=(4, 40, 32)).astype(np.float32)
+    w = rng.normal(size=(4, 24, 40)).astype(np.float32)
+
+    orig = (pd.l1_distance_matrix_batched, pd.l1_distance_grads_batched,
+            dist_mod._PALLAS_MIN_ELEMS_BATCHED)
+    pd.l1_distance_matrix_batched = (
+        lambda a_, b_: orig[0](a_, b_, interpret=True))
+    pd.l1_distance_grads_batched = (
+        lambda a_, b_, g_: orig[1](a_, b_, g_, interpret=True))
+    dist_mod._PALLAS_MIN_ELEMS_BATCHED = 0  # force the batched-kernel path
+    try:
+        def loss(fn, a_, b_):
+            return jnp.sum(jnp.asarray(w) * jax.vmap(fn)(a_, b_))
+
+        va, (ga, gb) = jax.value_and_grad(
+            lambda a_, b_: loss(dist_mod._l1_tpu, a_, b_), argnums=(0, 1)
+        )(jnp.asarray(a), jnp.asarray(b))
+        vr, (ra, rb) = jax.value_and_grad(
+            lambda a_, b_: loss(dist_mod._l1_broadcast, a_, b_),
+            argnums=(0, 1),
+        )(jnp.asarray(a), jnp.asarray(b))
+    finally:
+        (pd.l1_distance_matrix_batched, pd.l1_distance_grads_batched,
+         dist_mod._PALLAS_MIN_ELEMS_BATCHED) = orig
+    np.testing.assert_allclose(float(va), float(vr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_l1_tpu_vjp_inside_vmap():
+    """The trainer's exact composition — ``vmap`` over micro-batches, each
+    computing a ``jax.vjp`` that routes through the L1 dispatch. custom_vmap
+    alone does not support reverse-mode AD; the custom_vjp-outside /
+    custom_vmap-inside structure must survive this."""
+    from besskge_tpu.ops import distance as dist_mod
+    import besskge_tpu.ops.pallas_distance as pd
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(3, 16, 32)).astype(np.float32)
+    b = rng.normal(size=(3, 24, 32)).astype(np.float32)
+    w = rng.normal(size=(3, 16, 24)).astype(np.float32)
+
+    orig = (pd.l1_distance_matrix_batched, pd.l1_distance_grads_batched,
+            dist_mod._PALLAS_MIN_ELEMS_BATCHED)
+    pd.l1_distance_matrix_batched = (
+        lambda a_, b_: orig[0](a_, b_, interpret=True))
+    pd.l1_distance_grads_batched = (
+        lambda a_, b_, g_: orig[1](a_, b_, g_, interpret=True))
+    dist_mod._PALLAS_MIN_ELEMS_BATCHED = 0
+    try:
+        def mb(fn, a_, b_, w_):
+            out, vjp = jax.vjp(fn, a_, b_)
+            da, db = vjp(w_)
+            return jnp.sum(out * w_), da, db
+
+        va, ga, gb = jax.jit(jax.vmap(
+            lambda a_, b_, w_: mb(dist_mod._l1_tpu, a_, b_, w_)
+        ))(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w))
+        vr, ra, rb = jax.jit(jax.vmap(
+            lambda a_, b_, w_: mb(dist_mod._l1_broadcast, a_, b_, w_)
+        ))(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w))
+    finally:
+        (pd.l1_distance_matrix_batched, pd.l1_distance_grads_batched,
+         dist_mod._PALLAS_MIN_ELEMS_BATCHED) = orig
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vr), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ra), rtol=1e-5,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-5,
