@@ -4,7 +4,7 @@ CXX ?= g++
 NATIVE_SRC = csrc/bess_host.cpp
 NATIVE_LIB = besskge_tpu/_native_build/libbess_host.so
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-fast bench doc clean
 
 all: native
 
@@ -22,6 +22,9 @@ test-fast: native
 
 bench: native
 	python bench.py
+
+doc:
+	JAX_PLATFORMS=cpu python docs/gen_api.py
 
 clean:
 	rm -rf besskge_tpu/_native_build .pytest_cache
