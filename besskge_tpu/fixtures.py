@@ -756,6 +756,7 @@ def build_wikikg2_fixture(
     lattice_dim: int = 4,
     cluster_size: int = 64,
     noise: float = 0.08,
+    member_skew: float = 3.0,
     n_eval_negative: int = N_EVAL_NEGATIVE,
     oracle_sample: int = 4000,
     eval_rows: Optional[int] = None,
@@ -789,7 +790,24 @@ def build_wikikg2_fixture(
     scale 0.002) — always compare trained MRR against the RETURNED oracle
     estimate, not the full-scale bar.
 
+    **Degree distribution.** Cluster members are drawn with a Zipf-like
+    skew (``u^member_skew``), giving the heavy-tailed entity-degree
+    profile of the real dataset. This is not cosmetic: at wikikg2's
+    density (~6.4 train triples per entity) a UNIFORM-degree graph leaves
+    every entity equally data-starved and the reference recipe
+    under-converges by construction (measured: 70 epochs reached only
+    ~45% of the ceiling at scale 0.05), whereas with skewed degrees —
+    like the real data — eval mass concentrates on well-trained frequent
+    entities. NB the planted-embedding SCALE (basis σ, lattice centering)
+    affects nothing observable: training and eval see only triple IDs,
+    and both the oracle and the score gaps are scale-equivariant.
+
     :param scale: shrink factor for entity/split sizes (CPU tests ≪ 1).
+    :param member_skew: within-cluster member draws use
+        ``floor(cluster_size · u^member_skew)`` — ``1.0`` is uniform;
+        larger concentrates degree on low-index members of every cluster
+        (train, eval, and noise draws all use the same skew, as in the
+        real dataset where eval triples follow the train distribution).
     :param eval_rows: cap valid/test splits to this many triples (the two
         (rows, 500) negative arrays at the published sizes cost ~4 GB of
         host RAM; 50k rows bound the MRR standard error under ±0.004).
@@ -847,6 +865,12 @@ def build_wikikg2_fixture(
         [side ** (lattice_dim - 1 - i) for i in range(lattice_dim)], np.int64
     )
 
+    def draw_members(prng, n: int):
+        """Within-cluster member indices with the Zipf-like degree skew."""
+        return np.minimum(
+            (prng.random(n) ** member_skew * cse).astype(np.int64), cse - 1
+        )
+
     def sample_part(n: int, part_seed: int):
         prng = np.random.default_rng(part_seed)
         r = prng.integers(n_relation, size=n).astype(np.int32)
@@ -867,14 +891,21 @@ def build_wikikg2_fixture(
         z_t[bad] = lo[bad] + delta[r[bad]]
         c_h = (z_h * strides).sum(1)
         c_t = (z_t * strides).sum(1)
-        m_h = prng.integers(cse, size=n)
-        m_t = prng.integers(cse, size=n)
+        m_h = draw_members(prng, n)
+        m_t = draw_members(prng, n)
         h = (c_h * cse + m_h).astype(np.int32)
         t = (c_t * cse + m_t).astype(np.int32)
-        # noise triples: uniform everything
+        # noise triples: uniform cluster × skewed member (the heavy tail
+        # applies to the whole graph in the real data)
         n_noise = int((~structural).sum())
-        h[~structural] = prng.integers(n_entity, size=n_noise)
-        t[~structural] = prng.integers(n_entity, size=n_noise)
+        h[~structural] = (
+            prng.integers(n_full_cluster, size=n_noise) * cse
+            + draw_members(prng, n_noise)
+        ).astype(np.int32)
+        t[~structural] = (
+            prng.integers(n_full_cluster, size=n_noise) * cse
+            + draw_members(prng, n_noise)
+        ).astype(np.int32)
         return np.stack([h, r, t], axis=1).astype(np.int32)
 
     triples = {

@@ -34,7 +34,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--real", default=None, metavar="DIR")
     ap.add_argument("--scale", type=float, default=1.0)
-    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--epochs", type=int, default=70,
+                    help="reference notebook 3 trains 70 epochs (cell 24)")
     ap.add_argument("--eval-triples", type=int, default=50_000)
     ap.add_argument("--oracle-sample", type=int, default=4000)
     ap.add_argument("--no-packed", action="store_true",
