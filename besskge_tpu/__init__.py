@@ -20,6 +20,7 @@ from besskge_tpu import (  # noqa: F401,E402
     checkpoint,
     dataset,
     embedding,
+    eval_loop,
     loss,
     metric,
     monitor,

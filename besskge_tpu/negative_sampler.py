@@ -259,14 +259,21 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
         self.seed = seed
         self.rng = np.random.default_rng(seed)
 
+        def _shard_ordered(negs, sort_idx):
+            # sort_idx is the identity at n_shard == 1: skip the 20M-element
+            # gather (page-fault-bound on demand-paged hosts).
+            if sharding.n_shard == 1:
+                return sharding.entity_to_idx[negs]
+            return sharding.entity_to_idx[
+                np.take_along_axis(negs, sort_idx, axis=-1)
+            ]
+
         if corruption_scheme in ("h", "t"):
             negs = negative_heads if corruption_scheme == "h" else negative_tails
             counts, self.sort_neg_idx = self.shard_negatives(negs)
             self.padded_shard_length = int(counts.max())
             self.padded_negatives, self.mask = self.pad_negatives(
-                sharding.entity_to_idx[
-                    np.take_along_axis(negs, self.sort_neg_idx, axis=-1)
-                ],
+                _shard_ordered(negs, self.sort_neg_idx),
                 counts,
                 self.padded_shard_length,
             )
@@ -275,16 +282,12 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
             counts_t, self.sort_neg_t_idx = self.shard_negatives(negative_tails)
             self.padded_shard_length = int(max(counts_h.max(), counts_t.max()))
             self.padded_negatives_h, self.mask_h = self.pad_negatives(
-                sharding.entity_to_idx[
-                    np.take_along_axis(negative_heads, self.sort_neg_h_idx, axis=-1)
-                ],
+                _shard_ordered(negative_heads, self.sort_neg_h_idx),
                 counts_h,
                 self.padded_shard_length,
             )
             self.padded_negatives_t, self.mask_t = self.pad_negatives(
-                sharding.entity_to_idx[
-                    np.take_along_axis(negative_tails, self.sort_neg_t_idx, axis=-1)
-                ],
+                _shard_ordered(negative_tails, self.sort_neg_t_idx),
                 counts_t,
                 self.padded_shard_length,
             )
@@ -405,13 +408,25 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
             ``sort_idx`` stably clusters each row in shard order.
         """
         n_shard = self.sharding.n_shard
+        if n_shard == 1:
+            # Identity bucketing: skip the argsort and the (N, n_neg)
+            # key temps — they page-fault for seconds at OGB eval sizes
+            # on demand-paged hosts.
+            counts = np.full((self.N, 1), self.n_negative, np.int64)
+            sort_idx = np.broadcast_to(
+                np.arange(self.n_negative, dtype=np.int32),
+                (self.N, self.n_negative),
+            )
+            return counts, sort_idx
         shard_of = self.sharding.entity_to_shard[negatives]  # (N, n_neg)
         keys = shard_of + n_shard * np.arange(self.N)[:, None]
         counts = np.bincount(
             keys.reshape(-1), minlength=n_shard * self.N
         ).reshape(self.N, n_shard)
         sort_idx = np.argsort(shard_of, axis=-1, kind="stable")
-        return counts.astype(np.int64), sort_idx.astype(np.int32)
+        return counts.astype(np.int64, copy=False), sort_idx.astype(
+            np.int32, copy=False
+        )
 
     def pad_negatives(
         self,
@@ -427,6 +442,16 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
         :return: ``(padded (N, n_shard, pad), mask (N, n_shard, pad))`` with
             ``mask`` True on real entries.
         """
+        if (
+            self.sharding.n_shard == 1
+            and padded_shard_length == self.n_negative
+        ):
+            # Every row is full: padding and reindexing are identities.
+            mask = np.ones((self.N, 1, padded_shard_length), np.bool_)
+            return (
+                negatives.reshape(self.N, 1, -1).astype(np.int32, copy=False),
+                mask,
+            )
         pos = np.arange(padded_shard_length)[None, None, :]
         mask = pos < shard_counts[..., None]
         offsets = np.zeros_like(shard_counts)
@@ -435,7 +460,7 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
         idx = pos % np.maximum(shard_counts[..., None], 1) + offsets[..., None]
         idx = np.minimum(idx, self.n_negative - 1)
         padded = negatives[np.arange(self.N)[:, None, None], idx]
-        return padded.astype(np.int32), mask
+        return padded.astype(np.int32, copy=False), mask
 
     @property
     def n_negative_per_shard(self) -> int:

@@ -57,7 +57,6 @@ def main() -> None:
     from besskge_tpu.bess import (
         EmbeddingMovingBessKGE,
         ScoreMovingBessKGE,
-        build_bess_forward,
     )
     from besskge_tpu.loss import SampledSoftmaxCrossEntropyLoss
     from besskge_tpu.metric import Evaluation
@@ -168,18 +167,17 @@ def main() -> None:
         evaluation=evaluator,
         axis_name=None if n_shard == 1 else "shard",
     )
-    val_fwd = build_bess_forward(val_bess, mesh)
-    totals = np.zeros(len(evaluator.metrics))
-    n_queries = 0
+    # Blocked device-resident evaluation: one transfer + one dispatch per
+    # 16 steps instead of a per-step host round trip (~30x faster through
+    # a network-attached TPU; identical metric sums — see
+    # besskge_tpu/eval_loop.py and tests/test_eval_loop.py).
+    from besskge_tpu.eval_loop import run_device_eval
+
     t0 = time.perf_counter()
-    for batch in val_bs.get_dataloader(shuffle=False):
-        out = val_fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
-        totals += np.asarray(out["metrics"], np.float64).reshape(
-            -1, len(evaluator.metrics)
-        ).sum(0)
-        n_queries += int(batch["triple_mask"].sum())
+    metrics, n_queries = run_device_eval(
+        val_bess, params, val_bs, mesh=mesh, steps_per_block=16
+    )
     eval_s = time.perf_counter() - t0
-    metrics = dict(zip(evaluator.metrics.keys(), totals / n_queries))
     print(
         f"valid ({n_queries} queries, 500+500 negatives, {eval_s:.1f}s): "
         + "  ".join(f"{k} {v:.4f}" for k, v in metrics.items())
