@@ -67,7 +67,6 @@ def main() -> None:
     from besskge_tpu.bess import (
         EmbeddingMovingBessKGE,
         ScoreMovingBessKGE,
-        build_bess_forward,
     )
     from besskge_tpu.loss import LogSigmoidLoss
     from besskge_tpu.metric import Evaluation
@@ -179,18 +178,15 @@ def main() -> None:
         evaluation=evaluator,
         axis_name=None if n_shard == 1 else "shard",
     )
-    val_fwd = build_bess_forward(val_bess, mesh)
-    totals = np.zeros(len(evaluator.metrics))
-    n_queries = 0
+    # Blocked device-resident eval: one transfer + dispatch per 16 steps
+    # (see besskge_tpu/eval_loop.py; identical metric sums).
+    from besskge_tpu.eval_loop import run_device_eval
+
     t0 = time.perf_counter()
-    for batch in val_bs.get_dataloader(shuffle=False):
-        out = val_fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
-        totals += np.asarray(out["metrics"], np.float64).reshape(
-            -1, len(evaluator.metrics)
-        ).sum(0)
-        n_queries += int(batch["triple_mask"].sum())
+    metrics, n_queries = run_device_eval(
+        val_bess, params, val_bs, mesh=mesh, steps_per_block=16
+    )
     eval_s = time.perf_counter() - t0
-    metrics = dict(zip(evaluator.metrics.keys(), totals / n_queries))
     print(
         f"valid ({n_queries} queries, official-style 500+500 negatives,"
         f" {eval_s:.1f}s): "
