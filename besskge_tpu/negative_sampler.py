@@ -418,15 +418,19 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
                 (self.N, self.n_negative),
             )
             return counts, sort_idx
-        shard_of = self.sharding.entity_to_shard[negatives]  # (N, n_neg)
-        keys = shard_of + n_shard * np.arange(self.N)[:, None]
-        counts = np.bincount(
-            keys.reshape(-1), minlength=n_shard * self.N
-        ).reshape(self.N, n_shard)
+        # int8 shard keys: numpy's stable sort radix-sorts small ints (vs a
+        # mergesort on int32), and the per-shard counts come from n_shard
+        # row-sum passes instead of a flattened (N·n_neg) int64 key temp —
+        # both matter on demand-paged hosts where fresh-allocation page
+        # faults dominate at OGB candidate-set sizes.
+        shard_of = self.sharding.entity_to_shard.astype(np.int8)[
+            negatives
+        ]  # (N, n_neg)
+        counts = np.empty((self.N, n_shard), np.int64)
+        for s in range(n_shard):
+            counts[:, s] = (shard_of == s).sum(axis=-1)
         sort_idx = np.argsort(shard_of, axis=-1, kind="stable")
-        return counts.astype(np.int64, copy=False), sort_idx.astype(
-            np.int32, copy=False
-        )
+        return counts, sort_idx.astype(np.int32, copy=False)
 
     def pad_negatives(
         self,
@@ -452,13 +456,18 @@ class TripleBasedShardedNegativeSampler(ShardedNegativeSampler):
                 negatives.reshape(self.N, 1, -1).astype(np.int32, copy=False),
                 mask,
             )
-        pos = np.arange(padded_shard_length)[None, None, :]
-        mask = pos < shard_counts[..., None]
-        offsets = np.zeros_like(shard_counts)
-        offsets[:, 1:] = np.cumsum(shard_counts, axis=-1)[:, :-1]
+        # int32 + in-place arithmetic throughout: the (N, n_shard, pad)
+        # index temps page-fault for tens of seconds at OGB candidate-set
+        # sizes if each op allocates a fresh int64 buffer.
+        counts32 = shard_counts.astype(np.int32, copy=False)
+        pos = np.arange(padded_shard_length, dtype=np.int32)[None, None, :]
+        mask = pos < counts32[..., None]
+        offsets = np.zeros_like(counts32)
+        offsets[:, 1:] = np.cumsum(counts32, axis=-1, dtype=np.int32)[:, :-1]
         # Cyclic repetition within each shard list; clamp guards empty lists.
-        idx = pos % np.maximum(shard_counts[..., None], 1) + offsets[..., None]
-        idx = np.minimum(idx, self.n_negative - 1)
+        idx = pos % np.maximum(counts32[..., None], np.int32(1))
+        idx += offsets[..., None]
+        np.minimum(idx, np.int32(self.n_negative - 1), out=idx)
         padded = negatives[np.arange(self.N)[:, None, None], idx]
         return padded.astype(np.int32, copy=False), mask
 
