@@ -39,6 +39,20 @@ def _flat(table: jnp.ndarray) -> jnp.ndarray:
     return table[0] if table.ndim == 3 else table
 
 
+def _lr_at(lr, count: jnp.ndarray):
+    """Resolve a learning rate that may be an optax-style schedule.
+
+    ``lr`` is either a static float or a callable of the step count (e.g.
+    ``optax.cosine_decay_schedule``). Schedules receive the TRACED count, so
+    a decayed run still compiles to a single step function — no
+    per-step recompiles. ``count`` is the PRE-increment step count (first
+    step sees ``schedule(0)``), matching ``optax.scale_by_schedule`` on the
+    dense tables, so the sparse and dense halves of a model see the same lr
+    at every step.
+    """
+    return lr(count) if callable(lr) else lr
+
+
 def _is_16bit_table(table: jnp.ndarray) -> bool:
     from besskge_tpu.packed import is_packed
 
@@ -201,7 +215,8 @@ def _dedup_row_grads(
 class RowAdamW(EntityRowOptimizer):
     """Lazy AdamW on touched rows; fp32 moments regardless of table dtype."""
 
-    learning_rate: float
+    #: static float, or an optax-style schedule called with the step count
+    learning_rate: Any
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
@@ -227,7 +242,7 @@ class RowAdamW(EntityRowOptimizer):
         mu_hat = mu_rows / (1 - self.b1**t)
         nu_hat = nu_rows / (1 - self.b2**t)
         p_rows = _read_rows(table, idx)
-        upd = self.learning_rate * (
+        upd = _lr_at(self.learning_rate, state["count"]) * (
             mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p_rows
         )
         new_rows = p_rows - upd  # dtype handled by _apply_rows (packed-aware)
@@ -248,7 +263,8 @@ class RowSGDM(EntityRowOptimizer):
     """Lazy SGD with momentum on touched rows (the reference wikikg2 recipe,
     notebook 3 cell 14); fp32 momentum buffer."""
 
-    learning_rate: float
+    #: static float, or an optax-style schedule called with the step count
+    learning_rate: Any
     momentum: float = 0.9
     weight_decay: float = 0.0
     #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
@@ -272,7 +288,8 @@ class RowSGDM(EntityRowOptimizer):
             m_rows = self.momentum * jnp.take(_flat(state["m"]), idx, axis=0) + g
             new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
-        new_rows = p_rows - self.learning_rate * g  # dtype in _apply_rows
+        # dtype handled in _apply_rows
+        new_rows = p_rows - _lr_at(self.learning_rate, state["count"]) * g
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_bf16(new_rows, idx, new_state["count"])
         return _apply_rows(table, idx, new_rows), new_state
@@ -282,7 +299,8 @@ class RowSGDM(EntityRowOptimizer):
 class RowAdagrad(EntityRowOptimizer):
     """Lazy Adagrad on touched rows (the classic sparse-embedding choice)."""
 
-    learning_rate: float
+    #: static float, or an optax-style schedule called with the step count
+    learning_rate: Any
     eps: float = 1e-10
     #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
     stochastic_rounding: bool = True
@@ -297,8 +315,9 @@ class RowAdagrad(EntityRowOptimizer):
         g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
         acc_rows = jnp.take(_flat(state["acc"]), idx, axis=0) + g * g
         p_rows = _read_rows(table, idx)
+        lr = _lr_at(self.learning_rate, state["count"])
         new_rows = (
-            p_rows - self.learning_rate * g / (jnp.sqrt(acc_rows) + self.eps)
+            p_rows - lr * g / (jnp.sqrt(acc_rows) + self.eps)
         )  # dtype handled by _apply_rows (packed-aware)
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_bf16(new_rows, idx, state["count"] + 1)
@@ -320,9 +339,12 @@ class FusedDenseAdamW:
     densely (scatter-add), so prefer :class:`RowAdamW` at multi-GB scale.
 
     Off-TPU (and for non-2-D tables) falls back to the same formula in jnp.
+    A schedule ``learning_rate`` also takes the jnp path — the Pallas kernel
+    bakes lr in as a compile-time scalar.
     """
 
-    learning_rate: float
+    #: static float, or an optax-style schedule called with the step count
+    learning_rate: Any
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
@@ -342,6 +364,7 @@ class FusedDenseAdamW:
             jax.default_backend() == "tpu"
             and table.ndim == 2
             and table.dtype.itemsize == 4
+            and not callable(self.learning_rate)
         ):
             from besskge_tpu.ops.pallas_adamw import dense_adamw_update
 
@@ -358,7 +381,7 @@ class FusedDenseAdamW:
         mu_hat = mu / (1 - self.b1**t)
         nu_hat = nu / (1 - self.b2**t)
         p = table.astype(jnp.float32)
-        upd = self.learning_rate * (
+        upd = _lr_at(self.learning_rate, state["count"]) * (
             mu_hat / (jnp.sqrt(nu_hat) + self.eps) + self.weight_decay * p
         )
         return (p - upd).astype(table.dtype), {

@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--oracle-sample", type=int, default=4000)
     ap.add_argument("--no-packed", action="store_true",
                     help="plain fp32 entity table instead of packed bf16")
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="cosine-decay the learning rate over the run")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="peak learning rate (notebook 3: SGDM 1e-3)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -134,9 +138,22 @@ def main() -> None:
     # packed table is a multi-hundred-MB H2D through the (possibly remote)
     # tunnel, and transfers that size have been seen to kill the backend.
     init_params = score_fn.initial_params_device() if mesh is None else None
+    # --lr-decay: cosine floor over the whole run; the row optimizer takes
+    # the SAME optax schedule (besskge_tpu.optim resolves it at the traced
+    # step count), so the entity and relation tables stay in lockstep.
+    lr = (
+        optax.cosine_decay_schedule(
+            args.lr,
+            args.epochs
+            * max(1, len(ds.triples["train"]) // (8 * n_shard * 512)),
+            alpha=0.05,
+        )
+        if args.lr_decay
+        else args.lr
+    )
     trainer = Trainer(
-        bess, bs, optax.sgd(1e-3, momentum=0.95), mesh=mesh, seed=seed,
-        entity_optimizer=RowSGDM(learning_rate=1e-3, momentum=0.95),
+        bess, bs, optax.sgd(lr, momentum=0.95), mesh=mesh, seed=seed,
+        entity_optimizer=RowSGDM(learning_rate=lr, momentum=0.95),
         params=init_params,
     )
     stats = trainer.fit(n_epochs=args.epochs, log_every=200)

@@ -427,3 +427,50 @@ def test_sparse_bf16_training_learns_with_sr():
         pk.unpack_table_host(np.asarray(pk.pack_table(jnp.asarray(tab32))), 32),
         np.float32)).mean()
     assert move_rn < 0.004, move_rn
+
+
+def test_schedule_learning_rate_matches_manual_floats():
+    """A schedule lr must reproduce running each step with the schedule's
+    value passed as a static float (pre-increment count: step k uses
+    schedule(k), matching optax.scale_by_schedule)."""
+    rng = np.random.default_rng(3)
+    table0 = jnp.asarray(rng.normal(size=(12, 8)).astype(np.float32))
+    sched = optax.cosine_decay_schedule(0.05, decay_steps=10, alpha=0.1)
+    idxs = [jnp.asarray(rng.integers(0, 12, size=6), jnp.int32) for _ in range(5)]
+    gradss = [jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32)) for _ in range(5)]
+
+    for make in (
+        lambda lr: RowSGDM(learning_rate=lr, momentum=0.9),
+        lambda lr: RowAdamW(learning_rate=lr, weight_decay=0.01),
+        lambda lr: RowAdagrad(learning_rate=lr),
+    ):
+        opt = make(sched)
+        table, state = table0, opt.init(table0)
+        for idx, grads in zip(idxs, gradss):
+            table, state = opt.update_rows(table, state, idx, grads)
+
+        table_m = table0
+        state_m = make(0.0).init(table0)
+        for k, (idx, grads) in enumerate(zip(idxs, gradss)):
+            opt_k = make(float(sched(k)))
+            table_m, state_m = opt_k.update_rows(table_m, state_m, idx, grads)
+        np.testing.assert_allclose(
+            np.asarray(table), np.asarray(table_m), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_fused_dense_adamw_schedule_takes_jnp_path():
+    from besskge_tpu.optim import FusedDenseAdamW
+
+    rng = np.random.default_rng(4)
+    table = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+    grad = jnp.asarray(rng.normal(size=(8, 8)).astype(np.float32))
+    sched = optax.cosine_decay_schedule(0.02, decay_steps=4)
+    opt = FusedDenseAdamW(learning_rate=sched)
+    state = opt.init(table)
+    t1, s1 = opt.apply_dense(table, state, grad)
+    t1f, _ = FusedDenseAdamW(learning_rate=float(sched(0))).apply_dense(
+        table, state, grad
+    )
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t1f), rtol=1e-6)
+    assert int(s1["count"]) == 1
