@@ -26,7 +26,8 @@ def main() -> None:
     ap.add_argument("--model", default="complex",
                     choices=["complex", "transe-l1", "transe-l2"])
     ap.add_argument("--dim", type=int, default=128, help="complex dim (row 2d)")
-    ap.add_argument("--window", type=int, default=500)
+    ap.add_argument("--window", type=int, default=None,
+                    help="window size (default: auto — min(32768, rows))")
     ap.add_argument("--batch", type=int, default=512, help="queries per call")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--steps", type=int, default=20)
@@ -35,6 +36,10 @@ def main() -> None:
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 scoring math (2x VPU width; the reference "
                          "runs fp16 on IPU)")
+    ap.add_argument("--merge", default="auto",
+                    choices=["auto", "sort", "chunk"],
+                    help="window merge: full-window lax.top_k sort vs the "
+                         "exact hierarchical chunk-max merge")
     args = ap.parse_args()
 
     import jax
@@ -49,13 +54,15 @@ def main() -> None:
     from besskge_tpu.scoring import ComplEx
     from besskge_tpu.sharding import Sharding
 
+    window = args.window
+    if window is None:
+        rows = args.entities  # 1-shard bench: local rows = all entities
+        window = max(min(32768, rows) // 128 * 128, min(rows, 128))
     if args.force_gather:
         # knock out the contiguous path by masking the helper's gate
         orig = bess_mod.pk_is_packed
         bess_mod.pk_is_packed = lambda t: True  # packed + odd W -> fallback
-        window = args.window + (1 - args.window % 2)  # make W odd
-    else:
-        window = args.window
+        window = window + (1 - window % 2)  # make W odd
 
     from besskge_tpu.scoring import TransE
 
@@ -78,7 +85,7 @@ def main() -> None:
     ns = PlaceholderNegativeSampler("t")
     topk = TopKQueryBessKGE(
         k=args.k, candidate_sampler=ns, score_fn=score_fn,
-        window_size=window, axis_name=None,
+        window_size=window, merge_mode=args.merge, axis_name=None,
     )
     params = score_fn.initial_params_device()
     fwd = jax.jit(lambda p, r, h: topk.forward(p, r, head=h))
@@ -103,8 +110,8 @@ def main() -> None:
     mode = "gather" if args.force_gather else "contiguous"
     print(
         f"topk vs {args.entities} entities ({args.model} d={args.dim}, "
-        f"window {window}, {mode}): {best*1e3:.1f} ms / {args.batch}-query "
-        f"batch = {args.batch/best:,.0f} queries/s"
+        f"window {window}, {mode}, merge={args.merge}): {best*1e3:.1f} ms / "
+        f"{args.batch}-query batch = {args.batch/best:,.0f} queries/s"
     )
 
 

@@ -656,13 +656,30 @@ class TopKQueryBessKGE:
     :param score_fn: scoring function.
     :param evaluation: optional on-device metrics (needs ground truth).
     :param return_scores: return the top-k scores too.
-    :param window_size: entities scored per query per loop iteration. Large
-        windows amortize the per-iteration ``lax.top_k`` merge and keep the
-        MXU matmuls big: on a v5e chip at YAGO scale (123k entities, 512
-        queries, ComplEx 2x128) throughput rises 3.2x from window 500 to
-        4000 and regresses past ~8k (VMEM pressure) —
-        ``benchmarks/bench_topk.py`` sweeps it. The reference default is
-        effectively 500 on IPU SRAM (``besskge/bess.py:640``).
+    :param window_size: entities scored per query per loop iteration, or
+        ``None`` (default) to auto-size to ``min(32768, local rows)`` rounded
+        down to a 128-multiple. Large windows amortize the per-iteration
+        merge and keep the MXU matmuls big: on a v5e chip at YAGO scale
+        (123k entities, 512 queries, ComplEx 2x128) the sort merge peaks
+        ~9 ms/batch near window 4000, while the chunk merge keeps improving
+        to 5.2 ms at 32768 — ``benchmarks/bench_topk.py`` sweeps it. The
+        reference default is effectively 500 on IPU SRAM
+        (``besskge/bess.py:640``).
+    :param merge_mode: how the per-window top-(k+1) merge is computed.
+        ``"sort"`` runs ``lax.top_k`` over the full ``window + k + 1``
+        concatenation (the reference's ``torch.topk`` merge,
+        ``besskge/bess.py:811-822``). ``"chunk"`` is an exact hierarchical
+        merge: reduce the window to 128-wide chunk maxima (one VPU pass that
+        fuses into the scoring epilogue), pick the top-(k+1) chunks, and
+        sort only those — any true top-(k+1) element's chunk max bounds it
+        from above, so if its chunk were not selected, k+1 chunks each hold
+        a strictly better element and it could not be top-(k+1). Cuts the
+        sorted width from ``window`` to ``128·(k+1)`` (sorting dominates the
+        window loop: the scoring roofline at wikikg2-scale vs-all is ~6 ms
+        of a measured 125 ms/batch). ``"auto"`` (default) picks ``"chunk"``
+        whenever the window is 128-divisible and wider than ``128·(k+1)``.
+        Tied scores may resolve to different (equally ranked) entity IDs
+        than ``"sort"``.
     :param axis_name: see :class:`BessKGE`.
     """
 
@@ -673,7 +690,8 @@ class TopKQueryBessKGE:
         score_fn: BaseScoreFunction,
         evaluation: Optional[Evaluation] = None,
         return_scores: bool = False,
-        window_size: int = 2048,
+        window_size: Optional[int] = None,
+        merge_mode: str = "auto",
         axis_name: Optional[str] = AXIS,
     ) -> None:
         self.sharding = score_fn.sharding
@@ -682,7 +700,13 @@ class TopKQueryBessKGE:
         self.evaluation = evaluation
         self.return_scores = return_scores
         self.k = k
+        if window_size is None:
+            rows = score_fn.sharding.max_entity_per_shard
+            window_size = max(min(32768, rows) // 128 * 128, min(rows, 128))
         self.window_size = window_size
+        if merge_mode not in ("auto", "sort", "chunk"):
+            raise ValueError(f"Unknown merge_mode {merge_mode!r}")
+        self.merge_mode = merge_mode
         self.axis_name = axis_name
         if candidate_sampler.flat_negative_format:
             if not score_fn.negative_sample_sharing:
@@ -781,6 +805,16 @@ class TopKQueryBessKGE:
             and not (packed_tab and self.window_size % 2)
         )
 
+        CHUNK = 128  # one vreg of lanes per chunk max
+        n_chunk = self.window_size // CHUNK
+        # Forced "chunk" still needs a 128-divisible window and more chunks
+        # than n_best to be meaningful; degenerate cases use the plain sort.
+        use_chunk_merge = (
+            self.merge_mode in ("auto", "chunk")
+            and self.window_size % CHUNK == 0
+            and n_chunk > n_best
+        )
+
         def loop_body(i, carry):
             curr_score, curr_idx = carry
             if contiguous:
@@ -831,11 +865,29 @@ class TopKQueryBessKGE:
             # elementwise passes instead of the padded bitonic sort) was
             # measured SLOWER end-to-end at window 4000 — it breaks XLA's
             # fusion of the scoring epilogue into the merge (L2: 114 ->
-            # 201 ms/batch). lax.top_k it is.
-            merged = jnp.concatenate([negative_score, curr_score], axis=1)
-            top_scores, top_pos = jax.lax.top_k(merged, n_best)
+            # 201 ms/batch). The chunked merge keeps a single fusable
+            # reduction pass over the scores instead.
             idx_broad = jnp.broadcast_to(neg_ent_idx, negative_score.shape)
-            all_idx = jnp.concatenate([idx_broad, curr_idx], axis=1)
+            if use_chunk_merge:
+                # Exact hierarchical merge (see class docstring): any
+                # window element in the true top-n_best has a chunk max
+                # >= itself, so the top-n_best chunks by max contain it.
+                nb_rows = negative_score.shape[0]
+                s3 = negative_score.reshape(nb_rows, n_chunk, CHUNK)
+                i3 = idx_broad.reshape(nb_rows, n_chunk, CHUNK)
+                chunk_max = jnp.max(s3, axis=-1)
+                _, chunk_pos = jax.lax.top_k(chunk_max, n_best)
+                cand_score = jnp.take_along_axis(
+                    s3, chunk_pos[:, :, None], axis=1
+                ).reshape(nb_rows, n_best * CHUNK)
+                cand_idx = jnp.take_along_axis(
+                    i3, chunk_pos[:, :, None], axis=1
+                ).reshape(nb_rows, n_best * CHUNK)
+            else:
+                cand_score, cand_idx = negative_score, idx_broad
+            merged = jnp.concatenate([cand_score, curr_score], axis=1)
+            top_scores, top_pos = jax.lax.top_k(merged, n_best)
+            all_idx = jnp.concatenate([cand_idx, curr_idx], axis=1)
             new_idx = jnp.take_along_axis(all_idx, top_pos, axis=1)
             return top_scores, new_idx
 
