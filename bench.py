@@ -13,6 +13,11 @@ Prints one JSON line per config (biokg first):
    row-wise SGDM. Reference: ~4.3M pos triples/s on 4 IPUs = 1.08M/s/chip.
 3. **wikikg2_bf16** — same, with the entity table itself stored
    row-pair-packed bf16 (half the fp32 HBM; `besskge_tpu.packed`).
+4. **topk_yago** — rank-vs-all inference on the reference's YAGO3-10
+   benchmark shape (`notebooks/2_yago_topk_prediction.ipynb` cells 30-39:
+   123,182 entities, ComplEx 2x128, 512-query batches vs ALL entities,
+   top-10). Reference: 0.1207 s/batch on 1 IPU = 4,242 queries/s
+   (0.0227 s on 4 IPUs).
 
 The primary number is the TPU-native configuration: the WHOLE batch —
 positives and negatives — is drawn inside the jitted step by
@@ -298,7 +303,60 @@ def _device_prefetch(it, depth: int = 2):
         yield q.popleft()
 
 
+def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
+    """Top-k rank-vs-all inference on the YAGO benchmark shape (config 4):
+    auto window + the exact hierarchical chunk merge (bess.py 8502f13)."""
+    import jax
+    import jax.numpy as jnp
+
+    from besskge_tpu.bess import TopKQueryBessKGE
+    from besskge_tpu.negative_sampler import PlaceholderNegativeSampler
+    from besskge_tpu.scoring import ComplEx
+    from besskge_tpu.sharding import Sharding
+
+    n_entity, batch = 123_182, 512
+    rng = np.random.default_rng(0)
+    sharding = Sharding.create(n_entity, 1, seed=0)
+    score_fn = ComplEx(
+        negative_sample_sharing=True, sharding=sharding,
+        n_relation_type=37, embedding_size=256, seed=0,
+    )
+    topk = TopKQueryBessKGE(
+        k=10, candidate_sampler=PlaceholderNegativeSampler("t"),
+        score_fn=score_fn, axis_name=None,
+    )
+    params = score_fn.initial_params_device()
+    fwd = jax.jit(lambda p, r, h: topk.forward(p, r, head=h))
+    rel = jnp.asarray(rng.integers(37, size=batch).astype(np.int32))
+    head = jnp.asarray(rng.integers(
+        sharding.max_entity_per_shard, size=batch).astype(np.int32))
+    out = fwd(params, rel, head)
+    _ = np.asarray(out["topk_global_id"][0, 0])  # fetch = sync
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = fwd(params, rel, head)
+        _ = np.asarray(out["topk_global_id"][0, 0])
+        best = min(best, (time.perf_counter() - t0) / n_steps)
+    baseline = 512 / 0.1207  # 1-IPU reference rate
+    line = {
+        "metric": "yago_complex_topk_vs_all_queries_per_s_per_chip",
+        "value": round(batch / best, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(batch / best / baseline, 3),
+        "ms_per_512q_batch": round(best * 1e3, 2),
+        "window": topk.window_size,
+        "merge": "chunk",
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
+    if name == "topk_yago":
+        return run_topk()
     setup = {
         "biokg": _setup_biokg,
         "wikikg2": _setup_wikikg2,
@@ -401,7 +459,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _tpu_kernel_selftest()
-    names = sys.argv[1:] or ["biokg", "wikikg2", "wikikg2_bf16"]
+    names = sys.argv[1:] or ["biokg", "wikikg2", "wikikg2_bf16", "topk_yago"]
     for name in names:
         run_one(name)
 

@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=70,
                     help="reference notebook 3 trains 70 epochs (cell 24)")
     ap.add_argument("--eval-triples", type=int, default=50_000)
+    ap.add_argument("--vs-all", type=int, default=0, metavar="N",
+                    help="also rank N valid tail queries against ALL "
+                         "entities with TopKQueryBessKGE (unfiltered "
+                         "sample MRR@10 — notebook 3 cell 27, reference "
+                         "MRR 0.267 in 47.1s on 4 IPUs)")
     ap.add_argument("--oracle-sample", type=int, default=4000)
     ap.add_argument("--no-packed", action="store_true",
                     help="plain fp32 entity table instead of packed bf16")
@@ -203,6 +208,51 @@ def main() -> None:
         print(
             f"planted-oracle ceiling ≈ {planted.oracle_estimate:.4f}; "
             "reference real-data bar: MRR 0.893 (notebook 3 cell 32)"
+        )
+
+    # ------------------- unfiltered tail ranking vs ALL 2.5M entities ----
+    # Reference notebook 3 cell 27: TopKQueryBessKGE over every entity,
+    # sample MRR@10 with worst_rank_infty (ranks > k contribute 0).
+    if args.vs_all:
+        from besskge_tpu.bess import TopKQueryBessKGE, build_topk_forward
+        from besskge_tpu.negative_sampler import PlaceholderNegativeSampler
+
+        vq = ds.triples["valid"][: args.vs_all]
+        pns = PlaceholderNegativeSampler(corruption_scheme="t", seed=seed)
+        q_pts = PartitionedTripleSet.create_from_queries(
+            ds, sharding, np.stack([vq[:, 0], vq[:, 1]], 1).astype(np.int32),
+            "hr", ground_truth=vq[:, 2].astype(np.int32),
+        )
+        q_bs = RigidShardedBatchSampler(
+            q_pts, pns, shard_bs=512 // n_shard, batches_per_step=4,
+            seed=seed,
+        )
+        topk_eval = Evaluation(
+            ["mrr", "hits@10"], worst_rank_infty=True, reduction="sum"
+        )
+        topk = TopKQueryBessKGE(
+            k=10, candidate_sampler=pns, score_fn=make_score_fn(True),
+            evaluation=topk_eval,
+            axis_name=None if n_shard == 1 else "shard",
+        )
+        fwd = build_topk_forward(
+            topk, make_shard_mesh(n_shard) if n_shard > 1 else None
+        )
+        totals = np.zeros(len(topk_eval.metrics))
+        n_q = 0
+        t0 = time.perf_counter()
+        for batch in q_bs.get_dataloader(shuffle=False):
+            out = fwd(params, {k: jnp.asarray(v) for k, v in batch.items()})
+            m = np.asarray(out["metrics"], np.float64)
+            totals += m.reshape(-1, len(topk_eval.metrics)).sum(0)
+            n_q += int(batch["triple_mask"].sum())
+        dt = time.perf_counter() - t0
+        got = dict(zip(topk_eval.metrics.keys(), totals / n_q))
+        print(
+            f"vs-ALL-entities ({n_q} queries x {ds.n_entity} entities, "
+            f"window {topk.window_size}, {dt:.1f}s): "
+            + "  ".join(f"{k} {v:.4f}" for k, v in got.items())
+            + "  [reference: MRR 0.267, 429k queries in 47.1s on 4 IPUs]"
         )
 
 
