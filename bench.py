@@ -319,7 +319,7 @@ def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
     sharding = Sharding.create(n_entity, 1, seed=0)
     score_fn = ComplEx(
         negative_sample_sharing=True, sharding=sharding,
-        n_relation_type=37, embedding_size=256, seed=0,
+        n_relation_type=37, embedding_size=128, seed=0,
     )
     topk = TopKQueryBessKGE(
         k=10, candidate_sampler=PlaceholderNegativeSampler("t"),

@@ -71,7 +71,7 @@ def main() -> None:
     if args.model == "complex":
         score_fn = ComplEx(
             negative_sample_sharing=True, sharding=sharding,
-            n_relation_type=37, embedding_size=2 * args.dim, seed=0,
+            n_relation_type=37, embedding_size=args.dim, seed=0,
         )
     else:
         score_fn = TransE(

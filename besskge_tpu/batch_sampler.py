@@ -22,6 +22,7 @@ from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
+from besskge_tpu import native
 from besskge_tpu.negative_sampler import ShardedNegativeSampler
 from besskge_tpu.sharding import PartitionedTripleSet
 
@@ -147,8 +148,6 @@ class ShardedBatchSampler(ABC):
 
         native_out = None
         if self.use_native:
-            from besskge_tpu import native
-
             if sample_idx.ndim == 4 or self.triple_partition_mode != "ht_shardpair":
                 native_out = native.assemble_hrt(self.triples, sample_idx)
         if native_out is not None:
@@ -271,6 +270,23 @@ class RigidShardedBatchSampler(ShardedBatchSampler):
 
     def sample_triples(self, idx: Sequence[int]) -> Dict[str, np.ndarray]:
         idx = np.asarray(idx)
+        if (
+            self.use_native
+            and self.triple_padded_idx.ndim == 3
+            and idx.size % self.batches_per_step == 0
+        ):
+            # ht_shardpair fast path: the C++ loop writes the
+            # (bps, S, S, t) layout directly (no numpy fancy-index temp).
+            res = native.rigid_take(
+                self.triple_padded_idx,
+                self.triple_counts.astype(np.int64),
+                idx.astype(np.int64),
+                self.batches_per_step,
+                idx.size // self.batches_per_step,
+            )
+            if res is not None:
+                take, mask = res
+                return dict(sample_idx=take, triple_mask=mask)
         take = self.triple_padded_idx[..., idx]  # (shard, [shard,] bps*t)
         mask = self.triple_mask[..., idx]
 

@@ -779,6 +779,13 @@ class TopKQueryBessKGE:
             candidate = negative.reshape(-1, negative.shape[-1])
             mask_rows = negative_mask.reshape(-1, negative_mask.shape[-1])
         n_candidate = candidate.shape[-1]
+        # Candidate sets are usually far narrower than the vs-all auto
+        # window (e.g. ~500 padded candidates vs 32768): clamp the
+        # effective window to the candidate width so each loop iteration
+        # gathers/scores only real candidates instead of mostly-masked rows.
+        window_size = self.window_size
+        if negative is not None:
+            window_size = min(window_size, max(-(-n_candidate // 128) * 128, 1))
 
         relation_all = self._all_gather(relation).reshape(-1)
         if scheme == "h":
@@ -801,17 +808,17 @@ class TopKQueryBessKGE:
         row_cap = 2 * t_flat.shape[0] if packed_tab else t_flat.shape[0]
         contiguous = (
             mask_rows is None
-            and self.window_size <= row_cap
-            and not (packed_tab and self.window_size % 2)
+            and window_size <= row_cap
+            and not (packed_tab and window_size % 2)
         )
 
         CHUNK = 128  # one vreg of lanes per chunk max
-        n_chunk = self.window_size // CHUNK
+        n_chunk = window_size // CHUNK
         # Forced "chunk" still needs a 128-divisible window and more chunks
         # than n_best to be meaningful; degenerate cases use the plain sort.
         use_chunk_merge = (
             self.merge_mode in ("auto", "chunk")
-            and self.window_size % CHUNK == 0
+            and window_size % CHUNK == 0
             and n_chunk > n_best
         )
 
@@ -819,22 +826,22 @@ class TopKQueryBessKGE:
             curr_score, curr_idx = carry
             if contiguous:
                 start = jnp.minimum(
-                    i * self.window_size, row_cap - self.window_size
+                    i * window_size, row_cap - window_size
                 )
                 neg_ent_idx = (
-                    start + jnp.arange(self.window_size, dtype=jnp.int32)
+                    start + jnp.arange(window_size, dtype=jnp.int32)
                 )[None, :]
                 valid = jnp.logical_and(
-                    neg_ent_idx >= i * self.window_size,
+                    neg_ent_idx >= i * window_size,
                     neg_ent_idx < n_candidate,
                 )
                 neg_emb = take_contiguous_rows(
-                    table, start, self.window_size
+                    table, start, window_size
                 )[None]
             else:
                 slide = (
-                    i * self.window_size
-                    + jnp.arange(self.window_size, dtype=jnp.int32)
+                    i * window_size
+                    + jnp.arange(window_size, dtype=jnp.int32)
                 )[None, :]
                 valid = slide < n_candidate
                 slide = jnp.where(valid, slide, n_candidate - 1)
@@ -898,7 +905,7 @@ class TopKQueryBessKGE:
         init_idx = jnp.full(
             (total_bs, n_best), sharding.max_entity_per_shard, dtype=jnp.int32
         )
-        n_rep = int(np.ceil(n_candidate / self.window_size))
+        n_rep = int(np.ceil(n_candidate / window_size))
         best_score, best_idx = jax.lax.fori_loop(
             0, n_rep, loop_body, (init_score, init_idx)
         )
