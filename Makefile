@@ -4,7 +4,7 @@ CXX ?= g++
 NATIVE_SRC = csrc/bess_host.cpp
 NATIVE_LIB = besskge_tpu/_native_build/libbess_host.so
 
-.PHONY: all native test test-fast bench doc clean
+.PHONY: all native test test-fast bench doc lint install clean
 
 all: native
 
@@ -25,6 +25,13 @@ bench: native
 
 doc:
 	JAX_PLATFORMS=cpu python docs/gen_api.py
+
+lint:
+	ruff check besskge_tpu tests examples bench.py __graft_entry__.py
+	mypy besskge_tpu
+
+install:
+	pip install -e ".[dev]"
 
 clean:
 	rm -rf besskge_tpu/_native_build .pytest_cache
