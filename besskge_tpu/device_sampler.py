@@ -227,16 +227,24 @@ class DeviceBatchSampler:
             u = jax.random.uniform(k_pos, (bps, *counts.shape))
             starts = offsets + (u * (counts - ppp + 1)).astype(jnp.int32)
             sample_idx = starts[..., None] + jnp.arange(ppp, dtype=jnp.int32)
-            flat = starts.reshape(bps, -1)
-            cols = []
-            for name in ("h", "r", "t"):
-                arr = state[name]
-                slabs = [
-                    jax.lax.dynamic_slice_in_dim(arr, flat[mb, pt], ppp)
-                    for mb in range(bps)
-                    for pt in range(flat.shape[1])
-                ]
-                cols.append(jnp.stack(slabs).reshape(shape))
+            flat = starts.reshape(-1, 1)  # (bps*S*S, 1) run starts
+            # One batched-slice gather per column: slice_sizes=(ppp,) makes
+            # every gathered "row" a CONTIGUOUS run (the vector form of one
+            # dynamic_slice per run). Unlike a Python-unrolled slab loop the
+            # program size is flat in bps and S (compile time stays constant
+            # at pod-slice shard counts); unlike an element gather each run
+            # is still one contiguous DMA.
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            )
+            cols = [
+                jax.lax.gather(
+                    state[name], flat, dn, (ppp,),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                ).reshape(shape)
+                for name in ("h", "r", "t")
+            ]
             head, relation, tail = cols
         else:
             counts = jnp.asarray(self._counts, jnp.float32)[None, ..., None]
