@@ -354,9 +354,89 @@ def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
     return line
 
 
+def run_census() -> dict:
+    """Compile-time collective census of the n_shard=8 train step on an
+    8-device CPU mesh (the strongest multi-chip readiness proof available
+    on a single chip): asserts the BESS communication contract — exactly
+    TWO all-to-alls (forward + AD transpose) of the predicted payload,
+    zero all-gathers, and no all-reduce over table shapes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import __graft_entry__ as graft
+    from besskge_tpu.parallel import (
+        make_shard_mesh,
+        shard_batch,
+        shard_params,
+    )
+    from besskge_tpu.parallel.hlo_check import (
+        assert_no_entity_allreduce,
+        collective_census,
+    )
+    from besskge_tpu.trainer import build_train_step, init_optimizer_state
+
+    n = 8
+    cpu = jax.devices("cpu")
+    if len(cpu) < n:
+        line = {
+            "metric": "bess_collective_census_nshard8",
+            "value": None,
+            "unit": "bytes",
+            "vs_baseline": None,
+            "skipped": f"only {len(cpu)} cpu devices",
+        }
+        print(json.dumps(line), flush=True)
+        return line
+    # wikikg2 batch geometry (shard_bs 512, 32 flat "ht" negatives, d=128)
+    # on a tiny entity table: the collective payloads depend only on the
+    # batch geometry, not the table height.
+    bess, bs, params, batch, _ = graft._build(
+        n_shard=n, n_entity=64 * n, n_relation=16, emb=64,
+        shard_bs=512, n_negative=32, bps=1,
+    )
+    mesh = make_shard_mesh(n, devices=cpu[:n])
+    params = shard_params(params, mesh)
+    opt = optax.adam(1e-3)
+    opt_state = init_optimizer_state(opt, params, mesh)
+    step = build_train_step(bess, opt, mesh, donate=False)
+    jbatch = shard_batch(batch, mesh)
+    census = collective_census(
+        lambda p, s, b: step(p, s, b), params, opt_state, jbatch
+    )
+    assert_no_entity_allreduce(
+        lambda p, s, b: step(p, s, b),
+        params["entity_embedding"].shape,
+        params, opt_state, jbatch,
+    )
+    ppp = bs.positive_per_partition
+    expected = n * (ppp + 2 * 32) * 128 * 4  # S*(ppp + B*n_neg)*row*4B
+    ok = (
+        census["all-to-all"] == [expected, expected]
+        and census["all-gather"] == []
+        and len(census["all-reduce"]) == 1
+    )
+    line = {
+        "metric": "bess_collective_census_nshard8",
+        "value": expected,
+        "unit": "bytes_per_device_alltoall",
+        "vs_baseline": 1.0 if ok else 0.0,
+        "all_to_all_payloads": census["all-to-all"],
+        "all_gather_payloads": census["all-gather"],
+        "all_reduce_payloads": census["all-reduce"],
+        "no_table_allreduce": True,
+        "contract_ok": ok,
+    }
+    assert ok, line
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
     if name == "topk_yago":
         return run_topk()
+    if name == "census":
+        return run_census()
     setup = {
         "biokg": _setup_biokg,
         "wikikg2": _setup_wikikg2,
@@ -454,12 +534,22 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
 
 
 def main() -> None:
+    import os
+
+    # 8 virtual CPU devices for the multichip collective census (does not
+    # affect the TPU backend the throughput configs run on).
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _tpu_kernel_selftest()
-    names = sys.argv[1:] or ["biokg", "wikikg2", "wikikg2_bf16", "topk_yago"]
+    names = sys.argv[1:] or [
+        "census", "biokg", "wikikg2", "wikikg2_bf16", "topk_yago"
+    ]
     for name in names:
         run_one(name)
 

@@ -48,6 +48,14 @@ def main() -> None:
                     help="triples for the planted-oracle MRR estimate")
     ap.add_argument("--lr-decay", action="store_true",
                     help="cosine-decay the learning rate over the run")
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="peak learning rate (notebook: AdamW 1e-3)")
+    ap.add_argument("--warmup", type=int, default=0, metavar="STEPS",
+                    help="linear lr warmup over this many steps")
+    ap.add_argument("--alpha", type=float, default=1.0,
+                    help="self-adversarial negative-weighting scale")
+    ap.add_argument("--margin", type=float, default=12.0,
+                    help="LogSigmoid margin (notebook: 12)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (this sandbox ignores "
                          "JAX_PLATFORMS=cpu; the config update works)")
@@ -123,21 +131,31 @@ def main() -> None:
     bess = EmbeddingMovingBessKGE(
         negative_sampler=ns,
         score_fn=score_fn,
-        loss_fn=LogSigmoidLoss(margin=12.0, negative_adversarial_sampling=True),
+        loss_fn=LogSigmoidLoss(
+            margin=args.margin, negative_adversarial_sampling=True,
+            negative_adversarial_scale=args.alpha,
+        ),
         axis_name=None if n_shard == 1 else "shard",
     )
     mesh = make_shard_mesh(n_shard) if n_shard > 1 else None
     # torch/poptorch AdamW defaults (weight_decay=0.01), as in the notebook.
     # --lr-decay adds a cosine floor (the notebook keeps lr constant; the
     # decay trades nothing of the recipe but the schedule).
-    lr = (
-        optax.cosine_decay_schedule(
-            1e-3, args.epochs * max(1, len(ds.triples["train"]) //
-                                    (48 * n_shard * 240)), alpha=0.05
-        )
-        if args.lr_decay
-        else 1e-3
+    total_steps = args.epochs * max(
+        1, len(ds.triples["train"]) // (48 * n_shard * 240)
     )
+    if args.lr_decay:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup, total_steps, end_value=0.05 * args.lr
+        ) if args.warmup else optax.cosine_decay_schedule(
+            args.lr, total_steps, alpha=0.05
+        )
+    elif args.warmup:
+        lr = optax.schedules.warmup_constant_schedule(
+            0.0, args.lr, args.warmup
+        )
+    else:
+        lr = args.lr
     trainer = Trainer(
         bess, bs, optax.adamw(lr, weight_decay=0.01), mesh=mesh, seed=seed
     )

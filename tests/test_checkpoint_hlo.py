@@ -334,3 +334,51 @@ def test_sharded_checkpoint_roundtrip_reshard_8(tmp_path):
 
     walk(jax.tree.map(np.asarray, opt_state), o3)
     assert found
+
+
+def test_collective_census_at_width_8():
+    """Exact collective census of the n_shard=8 train step (VERDICT r2 item
+    9): TWO all-to-alls (forward + AD transpose), each of exactly
+    n_shard*(ppp + B*n_negative)*row_size elements; zero all-gathers; the
+    single all-reduce tuple carries only relation-grad + loss + metric
+    payloads (never anything table-shaped)."""
+    from besskge_tpu.parallel.hlo_check import collective_census
+
+    n_shard = 8
+    bess, bs, sf, sharding = _setup(n_shard=n_shard)
+    mesh = make_shard_mesh(n_shard)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in sf.initial_params().items()}, mesh
+    )
+    opt = optax.adam(1e-2)
+    opt_state = init_optimizer_state(opt, params, mesh)
+    step = build_train_step(bess, opt, mesh, donate=False)
+    batch = shard_batch(bs.sample_batch([0]), mesh)
+
+    census = collective_census(
+        lambda p, s, b: step(p, s, b), params, opt_state, batch
+    )
+
+    ppp = bs.positive_per_partition
+    n_neg = bess.negative_sampler.n_negative
+    b_blocks = 1  # "t" corruption, flat negatives
+    row = sf.entity_row_size
+    dtype_bytes = 4
+    expected = n_shard * (ppp + b_blocks * n_neg) * row * dtype_bytes
+
+    assert census["all-to-all"] == [expected, expected], (
+        census["all-to-all"], expected
+    )
+    assert census["all-gather"] == [], census["all-gather"]
+    assert len(census["all-reduce"]) == 1, census["all-reduce"]
+    # The all-reduce payload is tiny (relation grads + loss + metrics) —
+    # far below the table's local block size.
+    table_block_bytes = (
+        sharding.max_entity_per_shard * row * dtype_bytes
+    )
+    assert census["all-reduce"][0] < table_block_bytes
+    assert_no_entity_allreduce(
+        lambda p, s, b: step(p, s, b),
+        params["entity_embedding"].shape,
+        params, opt_state, batch,
+    )
