@@ -54,14 +54,16 @@ def main() -> None:
     from besskge_tpu.scoring import ComplEx
     from besskge_tpu.sharding import Sharding
 
+    # window None defers to TopKQueryBessKGE's auto default (32k for
+    # MXU-formable scorers, 128k for the fused-L1 window path).
     window = args.window
-    if window is None:
-        rows = args.entities  # 1-shard bench: local rows = all entities
-        window = max(min(32768, rows) // 128 * 128, min(rows, 128))
     if args.force_gather:
         # knock out the contiguous path by masking the helper's gate
         orig = bess_mod.pk_is_packed
         bess_mod.pk_is_packed = lambda t: True  # packed + odd W -> fallback
+        if window is None:
+            rows = args.entities
+            window = max(min(32768, rows) // 128 * 128, min(rows, 128))
         window = window + (1 - window % 2)  # make W odd
 
     from besskge_tpu.scoring import TransE
@@ -110,7 +112,8 @@ def main() -> None:
     mode = "gather" if args.force_gather else "contiguous"
     print(
         f"topk vs {args.entities} entities ({args.model} d={args.dim}, "
-        f"window {window}, {mode}, merge={args.merge}): {best*1e3:.1f} ms / "
+        f"window {topk.window_size}, {mode}, merge={args.merge}): "
+        f"{best*1e3:.1f} ms / "
         f"{args.batch}-query batch = {args.batch/best:,.0f} queries/s"
     )
 

@@ -48,8 +48,14 @@ from besskge_tpu.negative_sampler import (
     ShardedNegativeSampler,
     TripleBasedShardedNegativeSampler,
 )
+from besskge_tpu.ops.distance import (
+    l1_scores_chunkmax as ops_l1_scores_chunkmax,
+)
 from besskge_tpu.parallel.mesh import AXIS, batch_partition_specs, param_partition_specs
-from besskge_tpu.scoring import BaseScoreFunction
+from besskge_tpu.scoring import (
+    BaseScoreFunction,
+    DistanceBasedScoreFunction,
+)
 from besskge_tpu.packed import is_packed as pk_is_packed
 from besskge_tpu.packed import take_contiguous_rows, take_rows
 from besskge_tpu.utils import gather_indices
@@ -702,7 +708,20 @@ class TopKQueryBessKGE:
         self.k = k
         if window_size is None:
             rows = score_fn.sharding.max_entity_per_shard
-            window_size = max(min(32768, rows) // 128 * 128, min(rows, 128))
+            # Pure-cdist L1 models take the fused Pallas window path
+            # (scores + mask + chunk-max in one kernel pass): its per-window
+            # overhead is lower, so much larger windows keep paying —
+            # measured at wikikg2 vs-all (512q x 2.5M, TransE-L1 d=128):
+            # 32k -> 159 ms/batch, 128k -> 148 ms. MXU-formable scorers
+            # peak at 32k (benchmarks/bench_topk.py).
+            fused_l1 = (
+                getattr(score_fn, "scoring_norm", None) == 1
+                and score_fn.negative_sample_sharing
+                and type(score_fn).distance_query_vector
+                is not DistanceBasedScoreFunction.distance_query_vector
+            )
+            cap = 131072 if fused_l1 else 32768
+            window_size = max(min(cap, rows) // 128 * 128, min(rows, 128))
         self.window_size = window_size
         if merge_mode not in ("auto", "sort", "chunk"):
             raise ValueError(f"Unknown merge_mode {merge_mode!r}")
@@ -822,8 +841,29 @@ class TopKQueryBessKGE:
             and n_chunk > n_best
         )
 
+        # Fused L1 window path: for pure-cdist L1 models (TransE/RotatE),
+        # one Pallas pass per window computes scores + mask + chunk maxima
+        # (besskge_tpu.ops.distance.l1_scores_chunkmax) — the window's
+        # scores never round-trip HBM between scoring and the merge, and
+        # the separate negate/mask/reduce dispatches disappear.
+        fused_query = None
+        if (
+            use_chunk_merge
+            and contiguous
+            and self.score_fn.negative_sample_sharing
+            and getattr(self.score_fn, "scoring_norm", None) == 1
+        ):
+            qv_fn = getattr(self.score_fn, "distance_query_vector", None)
+            if qv_fn is not None:
+                fused_query = qv_fn(
+                    params, known_emb_all, relation_all, scheme
+                )
+                if fused_query is not None and cd is not None:
+                    fused_query = fused_query.astype(cd)
+
         def loop_body(i, carry):
             curr_score, curr_idx = carry
+            chunk_max = None
             if contiguous:
                 start = jnp.minimum(
                     i * window_size, row_cap - window_size
@@ -835,6 +875,23 @@ class TopKQueryBessKGE:
                     neg_ent_idx >= i * window_size,
                     neg_ent_idx < n_candidate,
                 )
+                if fused_query is not None:
+                    neg_rows = take_contiguous_rows(
+                        table, start, window_size
+                    )
+                    if cd is not None:
+                        neg_rows = neg_rows.astype(cd)
+                    negative_score, chunk_max = ops_l1_scores_chunkmax(
+                        fused_query, neg_rows, valid[0],
+                        chunk=CHUNK, bad=BAD_NEGATIVE_SCORE,
+                    )
+                    idx_broad = jnp.broadcast_to(
+                        neg_ent_idx, negative_score.shape
+                    )
+                    return _merge(
+                        negative_score, idx_broad, chunk_max,
+                        curr_score, curr_idx,
+                    )
                 neg_emb = take_contiguous_rows(
                     table, start, window_size
                 )[None]
@@ -875,6 +932,11 @@ class TopKQueryBessKGE:
             # 201 ms/batch). The chunked merge keeps a single fusable
             # reduction pass over the scores instead.
             idx_broad = jnp.broadcast_to(neg_ent_idx, negative_score.shape)
+            return _merge(
+                negative_score, idx_broad, None, curr_score, curr_idx
+            )
+
+        def _merge(negative_score, idx_broad, chunk_max, curr_score, curr_idx):
             if use_chunk_merge:
                 # Exact hierarchical merge (see class docstring): any
                 # window element in the true top-n_best has a chunk max
@@ -882,7 +944,8 @@ class TopKQueryBessKGE:
                 nb_rows = negative_score.shape[0]
                 s3 = negative_score.reshape(nb_rows, n_chunk, CHUNK)
                 i3 = idx_broad.reshape(nb_rows, n_chunk, CHUNK)
-                chunk_max = jnp.max(s3, axis=-1)
+                if chunk_max is None:
+                    chunk_max = jnp.max(s3, axis=-1)
                 _, chunk_pos = jax.lax.top_k(chunk_max, n_best)
                 cand_score = jnp.take_along_axis(
                     s3, chunk_pos[:, :, None], axis=1

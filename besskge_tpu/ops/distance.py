@@ -26,7 +26,12 @@ import jax
 import jax.custom_batching
 import jax.numpy as jnp
 
-__all__ = ["p_distance_matrix"]
+__all__ = ["p_distance_matrix", "l1_scores_chunkmax"]
+
+#: Test hook: "auto" (Pallas on TPU, XLA elsewhere), "pallas_interpret"
+#: (force the Mosaic kernel through the interpreter — CPU kernel tests), or
+#: "xla" (force the reference formulation).
+_FUSED_L1_MODE = "auto"
 
 #: Softening for sqrt at zero distance (keeps gradients finite when a
 #: candidate coincides with the query).
@@ -142,6 +147,45 @@ def _l1_tpu_bwd(res, g):
 
 
 _l1_tpu.defvjp(_l1_tpu_fwd, _l1_tpu_bwd)
+
+
+def l1_scores_chunkmax(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    valid: jnp.ndarray,
+    chunk: int = 128,
+    bad: float = -50000.0,
+) -> tuple:
+    """Masked negated-L1 scores and their per-``chunk`` column maxima —
+    the fused inference-window op for the TopK chunk merge
+    (``bess.TopKQueryBessKGE``). One Pallas pass computes
+    ``s = −cdist₁(a, b) + bad·(1−valid)`` AND ``max`` over each group of
+    ``chunk`` columns, so the scores never round-trip HBM between scoring
+    and the merge. Inference-only (no VJP). Falls back to the XLA
+    formulation off-TPU.
+
+    :param a: (B, d) transformed queries (e.g. h + r for TransE tails).
+    :param b: (N, d) candidate rows, N a multiple of ``chunk``.
+    :param valid: (N,) boolean/0-1 column validity.
+    :return: ``(scores (B, N) fp32, chunk_max (B, N/chunk) fp32)``.
+    """
+    mode = _FUSED_L1_MODE
+    if mode == "auto":
+        mode = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if mode in ("pallas", "pallas_interpret"):
+        from besskge_tpu.ops.pallas_distance import (
+            l1_scores_chunkmax as _kernel,
+        )
+
+        return _kernel(
+            a, b, valid, chunk=chunk, bad=bad,
+            interpret=mode == "pallas_interpret",
+        )
+    scores = -_l1_broadcast(
+        a.astype(jnp.float32), b.astype(jnp.float32)
+    ) + bad * (1.0 - valid.astype(jnp.float32))[None, :]
+    cmax = jnp.max(scores.reshape(a.shape[0], -1, chunk), axis=-1)
+    return scores, cmax
 
 
 def p_distance_matrix(a: jnp.ndarray, b: jnp.ndarray, p: int) -> jnp.ndarray:

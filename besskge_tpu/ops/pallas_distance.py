@@ -30,6 +30,7 @@ __all__ = [
     "l1_distance_grads",
     "l1_distance_matrix_batched",
     "l1_distance_grads_batched",
+    "l1_scores_chunkmax",
 ]
 
 
@@ -86,6 +87,9 @@ def l1_distance_matrix(
     """
     B, d = a.shape
     N = b.shape[0]
+    # TB=8 measured best IN-LOOP (the fori_loop window pipeline overlaps the
+    # many small programs; larger row tiles won standalone microbenches but
+    # regressed end-to-end topk 215 -> 328 ms/batch at wikikg2 scale).
     TB = min(8, _round_up(B, 8))
     TN = min(1024, _round_up(N, 128))
     Bp, Np = _round_up(B, TB), _round_up(N, TN)
@@ -103,6 +107,102 @@ def l1_distance_matrix(
         interpret=interpret,
     )(a_p, bt_p)
     return out[:B, :N]
+
+
+def _l1_scores_chunkmax_kernel(
+    a_ref, bt_ref, valid_ref, o_ref, cmax_ref, *, db: int, chunk: int,
+    bad: float,
+):
+    """Fused: masked negated L1 distances AND their per-``chunk`` column
+    maxima in one pass over the tile (the window never round-trips HBM
+    between scoring and the top-k chunk merge)."""
+    d = a_ref.shape[1]
+    tb, tn = o_ref.shape
+    acc = jnp.zeros((tb, tn), jnp.float32)
+    for start in range(0, d, db):
+        width = min(db, d - start)
+        a_blk = a_ref[:, start:start + width].astype(jnp.float32)
+        b_blk = bt_ref[start:start + width, :].astype(jnp.float32)
+        a3 = jax.lax.broadcast_in_dim(a_blk, (tb, width, tn), (0, 1))
+        b3 = jax.lax.broadcast_in_dim(b_blk, (tb, width, tn), (1, 2))
+        acc = acc + jnp.sum(jnp.abs(a3 - b3), axis=1)
+    # score = −dist, invalid columns pushed to the sentinel.
+    score = (1.0 - valid_ref[0, :]) * bad - acc
+    o_ref[:] = score
+    # cmax is emitted TRANSPOSED (n_chunk, B): its per-program block is then
+    # (TN/chunk, TB), satisfying the Mosaic (8, 128) block-tiling rule
+    # (a (TB, TN/chunk) block has an 8-wide minor dim).
+    cmax_ref[:] = jnp.max(
+        score.reshape(tb, tn // chunk, chunk), axis=-1
+    ).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "bad", "interpret")
+)
+def l1_scores_chunkmax(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    valid: jnp.ndarray,
+    chunk: int = 128,
+    bad: float = -50000.0,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked L1 scores ``s[i, j] = −‖a[i] − b[j]‖₁ + bad·(1−valid[j])`` and
+    their per-``chunk`` column maxima, fused in one VMEM pass.
+
+    This is the TopK window hot loop (`bess.TopKQueryBessKGE` with
+    ``merge_mode="chunk"``): fusing the mask, negation and chunk-max into
+    the distance kernel removes three full (B, N) HBM passes per window
+    and the separate reduction dispatch.
+
+    :param a: (B, d) transformed queries (e.g. h + r for TransE tails).
+    :param b: (N, d) candidate rows, N a multiple of ``chunk``.
+    :param valid: (N,) 0/1 column validity.
+    :return: ``(scores (B, N) fp32, chunk_max (B, N // chunk) fp32)``.
+    """
+    B, d = a.shape
+    N = b.shape[0]
+    if N % chunk:
+        raise ValueError(f"N={N} not a multiple of chunk={chunk}")
+    TN = min(1024, _round_up(N, chunk))
+    if TN % chunk:
+        raise ValueError(f"TN={TN} not a multiple of chunk={chunk}")
+    # The transposed cmax block is (TN/chunk, TB): Mosaic needs its minor
+    # dim (TB) 128-divisible, or the block to span the full padded array.
+    Bp8 = _round_up(B, 8)
+    TB = 128 if Bp8 >= 128 else Bp8
+    # Full-d reduction per tile measured best end-to-end (the (TB, db, TN)
+    # broadcast temp is fused by Mosaic, not materialized): at wikikg2
+    # vs-all topk, db 16 -> 221 ms/batch, 64 -> 165, 128 (=d) -> 159.
+    db = _d_chunk(d)
+    Bp, Np = _round_up(B, TB), _round_up(N, TN)
+    a_p = jnp.pad(a, ((0, Bp - B), (0, 0)))
+    bt_p = jnp.pad(b, ((0, Np - N), (0, 0))).T  # (d, Np)
+    valid2 = jnp.pad(
+        valid.astype(jnp.float32), (0, Np - N)
+    )[None, :]  # (1, Np); pad columns masked to the sentinel
+    out, cmax = pl.pallas_call(
+        functools.partial(
+            _l1_scores_chunkmax_kernel, db=db, chunk=chunk, bad=bad
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Np), jnp.float32),
+            jax.ShapeDtypeStruct((Np // chunk, Bp), jnp.float32),
+        ),
+        grid=(Bp // TB, Np // TN),
+        in_specs=[
+            pl.BlockSpec((TB, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, TN), lambda i, j: (0, j)),
+            pl.BlockSpec((1, TN), lambda i, j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, TN), lambda i, j: (i, j)),
+            pl.BlockSpec((TN // chunk, TB), lambda i, j: (j, i)),
+        ),
+        interpret=interpret,
+    )(a_p, bt_p, valid2)
+    return out[:B, :N], cmax[: N // chunk, :B].T
 
 
 def _l1_kernel_b(a_ref, bt_ref, o_ref, *, db: int):

@@ -351,6 +351,21 @@ class DistanceBasedScoreFunction(BaseScoreFunction, ABC):
             )
         return self.reduce_embedding(v1[:, None, :] - v2)
 
+    def distance_query_vector(self, params, known_emb, relation_id, scheme):
+        """Transformed query ``a`` such that ``score_heads``/``score_tails``
+        against a shared candidate pool equals ``−cdist_p(a, pool)`` — the
+        hook for the fused window-scoring kernels
+        (:func:`besskge_tpu.ops.distance.l1_scores_chunkmax`). ``None``
+        (default) means the model has no pure-cdist form (e.g. PairRE
+        modulates candidates by the relation) and the fused path must not
+        be used.
+
+        :param known_emb: (B, row) embeddings of the known entity.
+        :param relation_id: (B,) relation IDs.
+        :param scheme: "h" (ranking heads) or "t" (ranking tails).
+        """
+        return None
+
 
 class MatrixDecompositionScoreFunction(BaseScoreFunction, ABC):
     """Base for bilinear scorers: sum reduction + broadcasted dot product —
@@ -420,6 +435,13 @@ class TransE(DistanceBasedScoreFunction):
         r = self.relation_embedding(params, relation_id)
         return -self.broadcasted_distance(head_emb + r, tail_emb)
 
+    def distance_query_vector(self, params, known_emb, relation_id, scheme):
+        """``a`` such that scoring vs a candidate pool is ``−cdist_p(a, pool)``
+        (the fused-window hook; see
+        :meth:`DistanceBasedScoreFunction.distance_query_vector`)."""
+        r = self.relation_embedding(params, relation_id)
+        return known_emb - r if scheme == "h" else known_emb + r
+
 
 class RotatE(DistanceBasedScoreFunction):
     """RotatE: ``-||h ∘ e^{i r} − t||_p`` on blocked complex rows
@@ -465,6 +487,11 @@ class RotatE(DistanceBasedScoreFunction):
     def score_tails(self, params, head_emb, relation_id, tail_emb, **kw):
         r = self.relation_embedding(params, relation_id)
         return -self.broadcasted_distance(complex_rotation(head_emb, r), tail_emb)
+
+    def distance_query_vector(self, params, known_emb, relation_id, scheme):
+        """See :meth:`DistanceBasedScoreFunction.distance_query_vector`."""
+        r = self.relation_embedding(params, relation_id)
+        return complex_rotation(known_emb, -r if scheme == "h" else r)
 
 
 class PairRE(DistanceBasedScoreFunction):

@@ -517,3 +517,108 @@ def test_topk_chunk_merge_matches_sort(k):
 
     _run_batches(bs, fwd, params, collect_g)
     assert seen.all()
+
+
+@pytest.mark.parametrize("mode", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("model", ["transe", "rotate"])
+def test_topk_vs_all_fused_l1(mode, model, monkeypatch):
+    """The fused L1 window path (scores + mask + chunk-max in one op,
+    ops.distance.l1_scores_chunkmax) returns exactly the same top-k as the
+    unsharded golden matrix, for both the XLA fallback and the Mosaic
+    kernel (interpreted on CPU). A call counter proves the fused branch
+    actually ran."""
+    from besskge_tpu import bess as bess_mod
+    from besskge_tpu.ops import distance as dist_mod
+    from besskge_tpu.scoring import RotatE, TransE
+
+    monkeypatch.setattr(dist_mod, "_FUSED_L1_MODE", mode)
+    calls = []
+    real = bess_mod.ops_l1_scores_chunkmax
+
+    def counted(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bess_mod, "ops_l1_scores_chunkmax", counted)
+
+    # Bigger KG than the module fixture: the contiguous window path needs
+    # window <= rows/shard, and the chunk merge needs window >= 128*(k+2).
+    n_entity, n_query, emb = 6400, 128, 8
+    lrng = np.random.default_rng(SEED + 9)
+    shard_l = Sharding.create(n_entity, N_SHARD, seed=SEED)
+    ent_l = lrng.normal(
+        size=(N_SHARD, shard_l.max_entity_per_shard, 2 * emb)
+    ).astype(np.float32)
+    rel_l = lrng.normal(size=(N_RELATION, 2 * emb)).astype(np.float32)
+    flat_l = ent_l[shard_l.entity_to_shard, shard_l.entity_to_idx]
+    qh = lrng.integers(n_entity, size=n_query)
+    qr = lrng.integers(N_RELATION, size=n_query)
+    truth = lrng.integers(n_entity, size=n_query)
+    ds_l = KGDataset(
+        n_entity=n_entity,
+        n_relation_type=N_RELATION,
+        triples={"test": np.zeros((1, 3), np.int32)},
+        original_triple_ids={"test": np.arange(1)},
+    )
+
+    cls = {"transe": TransE, "rotate": RotatE}[model]
+    score_fn = cls(
+        negative_sample_sharing=True,
+        scoring_norm=1,
+        sharding=shard_l,
+        n_relation_type=N_RELATION,
+        embedding_size=2 * emb if model == "transe" else emb,
+        entity_initializer=ent_l,
+        relation_initializer=(
+            rel_l if model == "transe" else rel_l[:, :emb]
+        ),
+    )
+    queries = np.stack([qh, qr], 1).astype(np.int32)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds_l, shard_l, queries, "hr", ground_truth=truth.astype(np.int32)
+    )
+    ns = PlaceholderNegativeSampler(corruption_scheme="t", seed=SEED)
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=32, batches_per_step=1, seed=SEED,
+        return_triple_idx=True,
+    )
+    # window 128*12 with k=10 -> n_chunk=12 > n_best=11: chunk merge active;
+    # 1536 <= 1600 rows/shard: contiguous active.
+    topk = TopKQueryBessKGE(
+        k=K, candidate_sampler=ns, score_fn=score_fn, return_scores=True,
+        window_size=128 * 12, merge_mode="chunk",
+    )
+    fwd = build_topk_forward(topk, make_shard_mesh(N_SHARD))
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+
+    g_params = {"relation_embedding": jnp.asarray(params["relation_embedding"])}
+    golden = np.asarray(
+        score_fn.score_tails(
+            g_params,
+            jnp.asarray(flat_l[qh]),
+            jnp.asarray(qr.astype(np.int32)),
+            jnp.asarray(flat_l)[None],
+        )
+    )
+    golden_topk = np.argsort(-golden, axis=1)[:, :K]
+
+    seen = np.zeros(n_query, bool)
+
+    def collect(batch, out):
+        ids = out["topk_global_id"].reshape(-1, K)
+        scores = out["topk_scores"].reshape(-1, K)
+        mask = batch["triple_mask"].reshape(-1)
+        tidx = batch["triple_idx"].reshape(-1)
+        orig = pts.triple_sort_idx[tidx[mask]]
+        np.testing.assert_array_equal(ids[mask], golden_topk[orig])
+        np.testing.assert_allclose(
+            scores[mask],
+            np.take_along_axis(golden[orig], golden_topk[orig], axis=1),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+        seen[orig] = True
+
+    _run_batches(bs, fwd, params, collect)
+    assert seen.all()
+    assert calls, "fused L1 window path was never taken"
