@@ -419,3 +419,66 @@ def test_dense_adamw_multi_step_trajectory():
     np.testing.assert_allclose(p, pe, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(mu, me, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(nu, ne, rtol=1e-5, atol=1e-6)
+
+
+def test_l1_scores_chunkmax_interpret():
+    """Fused scores+chunk-max kernel: masked negated distances and exact
+    per-128-column maxima, across padding/alignment edge shapes."""
+    from besskge_tpu.ops.pallas_distance import l1_scores_chunkmax
+
+    rng = np.random.default_rng(4)
+    for B, N, d in [(8, 128, 16), (37, 1536, 96), (130, 1152, 64)]:
+        a = rng.normal(size=(B, d)).astype(np.float32)
+        b = rng.normal(size=(N, d)).astype(np.float32)
+        valid = rng.random(N) > 0.3
+        s, cm = l1_scores_chunkmax(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid),
+            interpret=True,
+        )
+        dist = np.abs(a[:, None, :] - b[None, :, :]).sum(-1)
+        want = -dist + (-50000.0) * (~valid)[None, :]
+        np.testing.assert_allclose(np.asarray(s), want, rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(cm), want.reshape(B, N // 128, 128).max(-1),
+            rtol=1e-5, atol=1e-3,
+        )
+
+
+def test_l1_scores_chunkmax_all_invalid_column_block():
+    """A fully-masked chunk must never win the merge: its max is the
+    sentinel."""
+    from besskge_tpu.ops.pallas_distance import l1_scores_chunkmax
+
+    rng = np.random.default_rng(5)
+    B, N, d = 16, 512, 32
+    a = rng.normal(size=(B, d)).astype(np.float32)
+    b = rng.normal(size=(N, d)).astype(np.float32)
+    valid = np.ones(N, bool)
+    valid[128:256] = False  # entire second chunk invalid
+    s, cm = l1_scores_chunkmax(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(valid), interpret=True
+    )
+    cm = np.asarray(cm)
+    assert (cm[:, 1] < -40000.0).all()
+    assert (cm[:, [0, 2, 3]] > -40000.0).all()
+
+
+def test_l1_scores_chunkmax_xla_fallback_matches():
+    """ops.distance.l1_scores_chunkmax XLA fallback == Mosaic interpreter."""
+    from besskge_tpu.ops import distance as dist_mod
+
+    rng = np.random.default_rng(6)
+    B, N, d = 24, 640, 48
+    a = jnp.asarray(rng.normal(size=(B, d)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+    valid = jnp.asarray(rng.random(N) > 0.5)
+    old = dist_mod._FUSED_L1_MODE
+    try:
+        dist_mod._FUSED_L1_MODE = "xla"
+        s1, c1 = dist_mod.l1_scores_chunkmax(a, b, valid)
+        dist_mod._FUSED_L1_MODE = "pallas_interpret"
+        s2, c2 = dist_mod.l1_scores_chunkmax(a, b, valid)
+    finally:
+        dist_mod._FUSED_L1_MODE = old
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-3)
