@@ -60,6 +60,14 @@ CONFIGS = {
         baseline=4.3e6 / 4,
         steps_per_call=8,
     ),
+    # Same storage footprint with fp16 halfwords (uint32-packed) — the
+    # reference recipe's own dtype, 4x finer mantissa ulp than bf16 (the
+    # measured quality lever; see BASELINE.md fp32-vs-packed control).
+    "wikikg2_fp16": dict(
+        metric="wikikg2_transe_fp16table_train_pos_triples_per_s_per_chip",
+        baseline=4.3e6 / 4,
+        steps_per_call=8,
+    ),
 }
 
 
@@ -204,7 +212,7 @@ def _setup_biokg():
     )
 
 
-def _setup_wikikg2(bf16_table: bool = False):
+def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     import jax.numpy as jnp
     import optax
 
@@ -233,11 +241,12 @@ def _setup_wikikg2(bf16_table: bool = False):
     # fp16-compute parity with the reference notebook: bf16 scoring math
     # over fp32-stored tables (2x VPU width; fp32 loss/update unchanged).
     score_fn.compute_dtype = jnp.bfloat16
-    if bf16_table:
+    if bf16_table or fp16_table:
         # Full storage parity with the reference fp16 recipe: the entity
-        # table itself in bf16 (row-pair-packed int32 — half the HBM),
-        # sparse in-place updates at full speed (besskge_tpu.packed).
-        score_fn.dtype = jnp.bfloat16
+        # table itself in 16-bit (row-pair-packed 32-bit words — half the
+        # HBM), sparse in-place updates at full speed (besskge_tpu.packed).
+        # fp16 halfwords are the reference's own dtype (finer ulp).
+        score_fn.dtype = jnp.float16 if fp16_table else jnp.bfloat16
         score_fn.packed_entity_storage = True
     ns = RandomShardedNegativeSampler(
         32, sharding, 0, "ht", local_sampling=False, flat_negative_format=True
@@ -255,8 +264,11 @@ def _setup_wikikg2(bf16_table: bool = False):
     dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
                              batches_per_step=bps, seed=0,
                              positive_mode="runs")
-    spc = CONFIGS["wikikg2_bf16" if bf16_table else "wikikg2"][
-        "steps_per_call"]
+    name = (
+        "wikikg2_fp16" if fp16_table
+        else "wikikg2_bf16" if bf16_table else "wikikg2"
+    )
+    spc = CONFIGS[name]["steps_per_call"]
     dstep = build_device_train_step(
         bess, opt, dev, None, entity_optimizer=row, steps_per_call=spc
     )
@@ -441,6 +453,7 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
         "biokg": _setup_biokg,
         "wikikg2": _setup_wikikg2,
         "wikikg2_bf16": lambda: _setup_wikikg2(bf16_table=True),
+        "wikikg2_fp16": lambda: _setup_wikikg2(fp16_table=True),
     }[name]
     cfg = CONFIGS[name]
     spc = cfg["steps_per_call"]
@@ -548,7 +561,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _tpu_kernel_selftest()
     names = sys.argv[1:] or [
-        "census", "biokg", "wikikg2", "wikikg2_bf16", "topk_yago"
+        "census", "biokg", "wikikg2", "wikikg2_bf16", "wikikg2_fp16",
+        "topk_yago",
     ]
     for name in names:
         run_one(name)

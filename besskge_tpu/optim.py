@@ -57,13 +57,17 @@ def _is_16bit_table(table: jnp.ndarray) -> bool:
     from besskge_tpu.packed import is_packed
 
     t = _flat(table)
-    return bool(is_packed(t)) or t.dtype == jnp.bfloat16
+    return (
+        bool(is_packed(t))
+        or t.dtype == jnp.bfloat16
+        or t.dtype == jnp.float16
+    )
 
 
-def _sr_round_bf16(
-    rows: jnp.ndarray, idx: jnp.ndarray, count: jnp.ndarray
+def _sr_round_16(
+    rows: jnp.ndarray, idx: jnp.ndarray, count: jnp.ndarray, table=None
 ) -> jnp.ndarray:
-    """Stochastically round fp32 rows to bf16.
+    """Stochastically round fp32 rows to the table's 16-bit dtype.
 
     Round-to-nearest silently DROPS updates smaller than half a bf16 ulp of
     the weight (~0.2% relative): at typical KGE learning rates the per-step
@@ -81,8 +85,15 @@ def _sr_round_bf16(
     counter-based hash of (row id, lane, step count) — stateless, and
     duplicate occurrences of a row hash identically, preserving the
     duplicate-writes-byte-identical contract the racing DMAs rely on.
+
+    For **fp16** tables (not a bit-prefix of fp32) the bit trick does not
+    apply; SR uses the exact two-candidate form instead: round to nearest,
+    take the neighbor on the error's side via ``nextafter``, and pick it
+    with probability err/gap — E[rounded] = exact for every finite input.
     """
-    bits = jax.lax.bitcast_convert_type(rows.astype(jnp.float32), jnp.uint32)
+    from besskge_tpu.packed import half_dtype
+
+    half = half_dtype(_flat(table)) if table is not None else jnp.bfloat16
     lane = jnp.arange(rows.shape[-1], dtype=jnp.uint32)[None, :]
     x = (
         idx.astype(jnp.uint32)[:, None] * jnp.uint32(2654435761)
@@ -94,6 +105,19 @@ def _sr_round_bf16(
     x = x ^ (x >> 15)
     x = x * jnp.uint32(0x846CA68B)
     x = x ^ (x >> 16)
+    if half == jnp.float16:
+        r32 = rows.astype(jnp.float32)
+        y = r32.astype(jnp.float16)  # round-to-nearest
+        y32 = y.astype(jnp.float32)
+        err = r32 - y32
+        toward = jnp.where(err > 0, jnp.inf, -jnp.inf).astype(jnp.float16)
+        nb = jnp.nextafter(y, toward)
+        gap = nb.astype(jnp.float32) - y32
+        p = jnp.where(gap != 0.0, err / gap, 0.0)  # in [0, 1/2]
+        u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))  # [0, 1)
+        sr = jnp.where(u < p, nb, y)
+        return jnp.where(jnp.isfinite(rows), sr, rows.astype(jnp.float16))
+    bits = jax.lax.bitcast_convert_type(rows.astype(jnp.float32), jnp.uint32)
     sr = jax.lax.bitcast_convert_type(
         ((bits + (x & jnp.uint32(0xFFFF))) >> 16).astype(jnp.uint16),
         jnp.bfloat16,
@@ -221,7 +245,7 @@ class RowAdamW(EntityRowOptimizer):
     b2: float = 0.999
     eps: float = 1e-8
     weight_decay: float = 0.0
-    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
 
     def init(self, table):
@@ -247,7 +271,7 @@ class RowAdamW(EntityRowOptimizer):
         )
         new_rows = p_rows - upd  # dtype handled by _apply_rows (packed-aware)
         if self.stochastic_rounding and _is_16bit_table(table):
-            new_rows = _sr_round_bf16(new_rows, idx, count)
+            new_rows = _sr_round_16(new_rows, idx, count, table)
         return (
             _apply_rows(table, idx, new_rows),
             {
@@ -267,7 +291,7 @@ class RowSGDM(EntityRowOptimizer):
     learning_rate: Any
     momentum: float = 0.9
     weight_decay: float = 0.0
-    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
 
     def init(self, table):
@@ -291,7 +315,7 @@ class RowSGDM(EntityRowOptimizer):
         # dtype handled in _apply_rows
         new_rows = p_rows - _lr_at(self.learning_rate, state["count"]) * g
         if self.stochastic_rounding and _is_16bit_table(table):
-            new_rows = _sr_round_bf16(new_rows, idx, new_state["count"])
+            new_rows = _sr_round_16(new_rows, idx, new_state["count"], table)
         return _apply_rows(table, idx, new_rows), new_state
 
 
@@ -302,7 +326,7 @@ class RowAdagrad(EntityRowOptimizer):
     #: static float, or an optax-style schedule called with the step count
     learning_rate: Any
     eps: float = 1e-10
-    #: stochastically round writes into 16-bit tables (see _sr_round_bf16)
+    #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
 
     def init(self, table):
@@ -320,7 +344,7 @@ class RowAdagrad(EntityRowOptimizer):
             p_rows - lr * g / (jnp.sqrt(acc_rows) + self.eps)
         )  # dtype handled by _apply_rows (packed-aware)
         if self.stochastic_rounding and _is_16bit_table(table):
-            new_rows = _sr_round_bf16(new_rows, idx, state["count"] + 1)
+            new_rows = _sr_round_16(new_rows, idx, state["count"] + 1, table)
         return (
             _apply_rows(table, idx, new_rows),
             {
@@ -387,3 +411,7 @@ class FusedDenseAdamW:
         return (p - upd).astype(table.dtype), {
             "mu": mu, "nu": nu, "count": count,
         }
+
+
+#: Backward-compatible name (bf16 was the only 16-bit table type pre-fp16).
+_sr_round_bf16 = _sr_round_16

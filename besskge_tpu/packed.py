@@ -47,7 +47,7 @@ model (reference IPUs keep fp16 tables in SRAM and update them densely).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,7 @@ import numpy as np
 
 __all__ = [
     "is_packed",
+    "half_dtype",
     "pack_table",
     "unpack_table",
     "pack_table_host",
@@ -70,12 +71,28 @@ _HI = jnp.uint32(0xFFFF0000)
 
 
 def is_packed(table: jnp.ndarray) -> bool:
-    """True when ``table`` is a row-pair-packed bf16 table (int32 storage).
+    """True when ``table`` is a row-pair-packed 16-bit table (32-bit int
+    storage: **int32 = packed bf16, uint32 = packed fp16**).
 
     Entity tables are floating-point in every other configuration, so the
-    storage dtype is the discriminator.
+    storage dtype is the discriminator — and its signedness encodes the
+    halfword float type, so no side-channel dtype needs threading through
+    the gather/update call sites.
     """
     return jnp.issubdtype(table.dtype, jnp.integer)
+
+
+def half_dtype(store) -> Any:
+    """The 16-bit float type packed into a storage (or logical) dtype."""
+    dt = store.dtype if hasattr(store, "dtype") else jnp.dtype(store)
+    if dt == jnp.dtype(jnp.uint32) or dt == jnp.dtype(jnp.float16):
+        return jnp.float16
+    return jnp.bfloat16
+
+
+def _store_dtype(half) -> Any:
+    """uint32 stores packed fp16 pairs; int32 packed bf16 pairs."""
+    return jnp.uint32 if jnp.dtype(half) == jnp.dtype(jnp.float16) else jnp.int32
 
 
 def logical_rows(table: jnp.ndarray, n_logical: int) -> int:
@@ -90,40 +107,45 @@ def _flat(table: jnp.ndarray) -> jnp.ndarray:
     return table[0] if table.ndim == 3 else table
 
 
-def _bits16(x: jnp.ndarray) -> jnp.ndarray:
-    """bf16 values → their bit patterns as uint32 (elementwise)."""
+def _bits16(x: jnp.ndarray, half=jnp.bfloat16) -> jnp.ndarray:
+    """16-bit float values → their bit patterns as uint32 (elementwise)."""
     return jax.lax.bitcast_convert_type(
-        x.astype(jnp.bfloat16), jnp.uint16
+        x.astype(half), jnp.uint16
     ).astype(jnp.uint32)
 
 
-def _from_bits16(u: jnp.ndarray) -> jnp.ndarray:
-    """Low 16 bits of uint32 words → bf16 values (elementwise)."""
-    return jax.lax.bitcast_convert_type(u.astype(jnp.uint16), jnp.bfloat16)
+def _from_bits16(u: jnp.ndarray, half=jnp.bfloat16) -> jnp.ndarray:
+    """Low 16 bits of uint32 words → 16-bit float values (elementwise)."""
+    return jax.lax.bitcast_convert_type(u.astype(jnp.uint16), half)
 
 
 def pack_table(table: jnp.ndarray) -> jnp.ndarray:
-    """Pack a logical ``(N, D)`` float table into int32 ``(ceil(N/2), D)``.
+    """Pack a logical ``(N, D)`` float table into 32-bit ``(ceil(N/2), D)``
+    storage: int32 when packing to bf16 (the default), uint32 when the
+    logical table is fp16 (the reference capacity recipe's own dtype —
+    4x finer mantissa ulp than bf16).
 
-    An odd ``N`` gets one bf16 row of zero padding (never addressed by
-    logical indices).
+    An odd ``N`` gets one zero row of padding (never addressed by logical
+    indices).
     """
     n, d = table.shape
-    x = table.astype(jnp.bfloat16)
+    half = half_dtype(table)
+    x = table.astype(half)
     if n % 2:
-        x = jnp.concatenate([x, jnp.zeros((1, d), jnp.bfloat16)])
-    even = _bits16(x[0::2])
-    odd = _bits16(x[1::2])
-    return jax.lax.bitcast_convert_type(even | (odd << 16), jnp.int32)
+        x = jnp.concatenate([x, jnp.zeros((1, d), half)])
+    even = _bits16(x[0::2], half)
+    odd = _bits16(x[1::2], half)
+    return jax.lax.bitcast_convert_type(even | (odd << 16), _store_dtype(half))
 
 
 def unpack_table(packed: jnp.ndarray, n_logical: int) -> jnp.ndarray:
     """Inverse of :func:`pack_table` → bf16 ``(n_logical, D)``."""
     p = _flat(packed)
     d = p.shape[-1]
+    half = half_dtype(p)
     u = jax.lax.bitcast_convert_type(p, jnp.uint32)
-    even = _from_bits16(u & _LO)
-    odd = _from_bits16(u >> 16)
+    even = _from_bits16(u & _LO, half)
+    odd = _from_bits16(u >> 16, half)
     # Row interleave via a (P, 2, D) stack: the size-2 dim is a sublane of
     # the (2, D) tile — a transient 4x pad acceptable for this rare
     # (checkpoint/eval-export) full-table op; the hot paths never call it.
@@ -136,22 +158,25 @@ def pack_table_host(table: np.ndarray) -> np.ndarray:
     import ml_dtypes
 
     n, d = table.shape
-    x = np.ascontiguousarray(table.astype(ml_dtypes.bfloat16))
+    fp16 = table.dtype == np.float16
+    hd = np.float16 if fp16 else ml_dtypes.bfloat16
+    x = np.ascontiguousarray(table.astype(hd))
     if n % 2:
-        x = np.concatenate([x, np.zeros((1, d), ml_dtypes.bfloat16)])
+        x = np.concatenate([x, np.zeros((1, d), hd)])
     even = x[0::2].view(np.uint16).astype(np.uint32)
     odd = x[1::2].view(np.uint16).astype(np.uint32)
-    return (even | (odd << 16)).view(np.int32)
+    return (even | (odd << 16)).view(np.uint32 if fp16 else np.int32)
 
 
 def unpack_table_host(packed: np.ndarray, n_logical: int) -> np.ndarray:
-    """Host-side inverse of :func:`pack_table_host` → bf16 ``(N, D)``."""
+    """Host-side inverse of :func:`pack_table_host` → 16-bit ``(N, D)``."""
     import ml_dtypes
 
+    hd = np.float16 if packed.dtype == np.uint32 else ml_dtypes.bfloat16
     u = np.ascontiguousarray(packed).view(np.uint32)
-    even = (u & 0xFFFF).astype(np.uint16).view(ml_dtypes.bfloat16)
-    odd = (u >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
-    out = np.empty((2 * u.shape[0], u.shape[1]), ml_dtypes.bfloat16)
+    even = (u & 0xFFFF).astype(np.uint16).view(hd)
+    odd = (u >> 16).astype(np.uint16).view(hd)
+    out = np.empty((2 * u.shape[0], u.shape[1]), hd)
     out[0::2] = even
     out[1::2] = odd
     return out[:n_logical]
@@ -169,10 +194,10 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     t = _flat(table)
     if not is_packed(t):
         return jnp.take(table, idx, axis=0)
-    pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) int32 = both planes
+    pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     odd = (idx & 1).astype(bool)[..., None]
-    return _from_bits16(jnp.where(odd, u >> 16, u & _LO))
+    return _from_bits16(jnp.where(odd, u >> 16, u & _LO), half_dtype(t))
 
 
 def take_contiguous_rows(
@@ -190,9 +215,10 @@ def take_contiguous_rows(
     if not is_packed(t):
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
     pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
+    half = half_dtype(t)
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
-    even = _from_bits16(u & _LO)
-    odd = _from_bits16(u >> 16)
+    even = _from_bits16(u & _LO, half)
+    odd = _from_bits16(u >> 16, half)
     # transient (w/2, 2, D) sublane pad is tiny at window sizes
     return jnp.stack([even, odd], axis=1).reshape(w, -1)
 
@@ -225,7 +251,7 @@ def merge_packed_row_writes(
     # values in, segment totals out, current table rows. (A
     # searchsorted-based first-occurrence variant with 4 gathers measured
     # ~20% slower end-to-end.)
-    bits = _bits16(rows)  # (R, D) uint32, value in the low halfword
+    bits = _bits16(rows, half_dtype(t))  # (R, D) uint32, low halfword
     placed = jnp.where(odd[:, None], bits << 16, bits)
 
     # Segmented bitwise-OR over occurrences of the same packed row: sort by
@@ -252,4 +278,4 @@ def merge_packed_row_writes(
     tot_m = jnp.take(pm, seg_end)[:, None]
     cur = jax.lax.bitcast_convert_type(jnp.take(t, sp, axis=0), jnp.uint32)
     merged = (tot_v & tot_m) | (cur & ~tot_m)
-    return sp, jax.lax.bitcast_convert_type(merged, jnp.int32)
+    return sp, jax.lax.bitcast_convert_type(merged, t.dtype)
