@@ -187,6 +187,47 @@ def parse_trace_events(events) -> Dict[str, Any]:
     }
 
 
+def top_ops(events, n: int = 25) -> List[Dict[str, Any]]:
+    """Top device ops by summed duration, from Chrome-trace events.
+
+    The per-op companion to :func:`parse_trace_events`: where that reports
+    category shares (collectives / data movement), this names the exact
+    fusions the step spends its time in — the tool for LATENCY-bound steps,
+    where no category dominates but a few small kernels serialize.
+    Returns ``[{"name", "total_us", "count", "mean_us"}, ...]``, largest
+    first, over the same leaf-op filter as :func:`parse_trace_events`.
+    """
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    acc: Dict[str, List[float]] = {}
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in device_pids
+            and e.get("dur", 0) > 0
+            and not str(e.get("name", "")).startswith(("jit_", "pjit"))
+        ):
+            a = acc.setdefault(str(e["name"]), [0.0, 0])
+            a[0] += e["dur"]
+            a[1] += 1
+    rows = [
+        {
+            "name": k,
+            "total_us": round(v[0], 1),
+            "count": v[1],
+            "mean_us": round(v[0] / v[1], 2),
+        }
+        for k, v in acc.items()
+    ]
+    rows.sort(key=lambda r: -r["total_us"])
+    return rows[:n]
+
+
 def device_memory_stats() -> Dict[str, Dict[str, int]]:
     """Per-device memory stats (bytes), where the backend reports them."""
     out: Dict[str, Dict[str, int]] = {}

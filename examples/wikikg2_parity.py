@@ -53,6 +53,16 @@ def main() -> None:
                     help="cosine-decay the learning rate over the run")
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="peak learning rate (notebook 3: SGDM 1e-3)")
+    ap.add_argument("--warmup", type=int, default=0, metavar="STEPS",
+                    help="linear lr warmup over this many steps")
+    ap.add_argument("--momentum", type=float, default=0.95,
+                    help="SGDM momentum (notebook 3: 0.95)")
+    ap.add_argument("--n-negative", type=int, default=32,
+                    help="random negatives per direction (notebook 3: 32)")
+    ap.add_argument("--fixture-structural", type=float, default=0.90,
+                    help="fixture structural_fraction (ceiling placement)")
+    ap.add_argument("--fixture-skew", type=float, default=3.0,
+                    help="fixture member_skew (degree heavy-tail)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,6 +108,8 @@ def main() -> None:
             seed=seed, scale=args.scale, return_planted=True,
             eval_rows=args.eval_triples or None,
             oracle_sample=args.oracle_sample,
+            structural_fraction=args.fixture_structural,
+            member_skew=args.fixture_skew,
         )
         print(
             f"fixture: {ds.n_entity} entities, "
@@ -130,7 +142,7 @@ def main() -> None:
 
     score_fn = make_score_fn(sharing=True)
     ns = RandomShardedNegativeSampler(
-        32, sharding, seed, "ht", local_sampling=False,
+        args.n_negative, sharding, seed, "ht", local_sampling=False,
         flat_negative_format=True,
     )
     bs = RigidShardedBatchSampler(
@@ -152,19 +164,25 @@ def main() -> None:
     # --lr-decay: cosine floor over the whole run; the row optimizer takes
     # the SAME optax schedule (besskge_tpu.optim resolves it at the traced
     # step count), so the entity and relation tables stay in lockstep.
-    lr = (
-        optax.cosine_decay_schedule(
-            args.lr,
-            args.epochs
-            * max(1, len(ds.triples["train"]) // (8 * n_shard * 512)),
-            alpha=0.05,
-        )
-        if args.lr_decay
-        else args.lr
+    total_steps = args.epochs * max(
+        1, len(ds.triples["train"]) // (8 * n_shard * 512)
     )
+    args.warmup = min(args.warmup, max(0, total_steps - 1))
+    if args.lr_decay:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, args.warmup, total_steps, end_value=0.05 * args.lr
+        ) if args.warmup else optax.cosine_decay_schedule(
+            args.lr, total_steps, alpha=0.05
+        )
+    elif args.warmup:
+        lr = optax.schedules.warmup_constant_schedule(
+            0.0, args.lr, args.warmup
+        )
+    else:
+        lr = args.lr
     trainer = Trainer(
-        bess, bs, optax.sgd(lr, momentum=0.95), mesh=mesh, seed=seed,
-        entity_optimizer=RowSGDM(learning_rate=lr, momentum=0.95),
+        bess, bs, optax.sgd(lr, momentum=args.momentum), mesh=mesh, seed=seed,
+        entity_optimizer=RowSGDM(learning_rate=lr, momentum=args.momentum),
         params=init_params,
     )
     stats = trainer.fit(n_epochs=args.epochs, log_every=200)

@@ -3,7 +3,7 @@ synthetic Chrome-trace event stream."""
 
 import numpy as np
 
-from besskge_tpu.monitor import parse_trace_events
+from besskge_tpu.monitor import parse_trace_events, top_ops
 
 
 def _meta(pid, name):
@@ -57,3 +57,22 @@ def test_parse_trace_events_no_collectives():
 def test_parse_trace_events_empty():
     assert parse_trace_events([_meta(1, "TPU")]) == {}
     assert parse_trace_events([]) == {}
+
+
+def test_top_ops_aggregates_and_orders():
+    events = [
+        _meta(1, "/device:TPU:0 ops"),
+        _meta(2, "host python"),
+        _op(1, "fusion.1", 0, 40),
+        _op(1, "fusion.1", 100, 20),  # same op name: aggregated
+        _op(1, "sort.5", 50, 45),
+        _op(1, "copy.7", 95, 5),
+        _op(2, "np.sum", 0, 1000),  # host: ignored
+        _op(1, "jit_train_step", 0, 120),  # meta-span: ignored
+    ]
+    rows = top_ops(events, n=2)
+    assert [r["name"] for r in rows] == ["fusion.1", "sort.5"]
+    assert rows[0] == {
+        "name": "fusion.1", "total_us": 60.0, "count": 2, "mean_us": 30.0,
+    }
+    assert top_ops([]) == []
