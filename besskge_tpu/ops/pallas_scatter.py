@@ -25,12 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["scatter_rows"]
 
-#: DMA pipeline depth (row copies in flight).
-_W = 16
+#: DMA pipeline depth (row copies in flight). Measured on v5e: the loop is
+#: ISSUE-bound (~23 ns/DMA of scalar-core work), so depth beyond 32 buys
+#: nothing (benchmarks/exp_scatter_depth.py: 16/4 -> 417.7 us, 32/8 ->
+#: 402.5, 64/8 -> 404.0 per wikikg2 step).
+_W = 32
 
 
 #: DMAs issued per loop iteration (amortizes scalar-core loop overhead).
-_U = 4
+_U = 8
 
 
 def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):

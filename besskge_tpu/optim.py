@@ -213,8 +213,13 @@ def _dedup_row_grads(
     touched per step; the table itself is never traversed.
     """
     r = idx.shape[0]
-    order = jnp.argsort(idx)
-    si = jnp.take(idx, order)
+    # One variadic sort yields BOTH the sorted ids and the permutation —
+    # argsort followed by jnp.take(idx, order) costs an extra 1-D gather,
+    # which the TPU emits as a ~58 us serial loop at R=8704 (profiled in
+    # benchmarks/roofline_wikikg2.py).
+    si, order = jax.lax.sort(
+        (idx, jnp.arange(r, dtype=jnp.int32)), num_keys=1
+    )
     sg = jnp.take(grad_rows.astype(jnp.float32), order, axis=0)
     cs = jnp.cumsum(sg, axis=0)
     pos = jnp.arange(r, dtype=jnp.int32)

@@ -257,8 +257,12 @@ def merge_packed_row_writes(
     # Segmented bitwise-OR over occurrences of the same packed row: sort by
     # packed index, prefix-OR with resets at segment starts, then read each
     # segment's total at its last element (searchsorted on the sorted keys).
-    order = jnp.argsort(p)
-    sp = jnp.take(p, order)
+    # One variadic sort returns the sorted keys AND the permutation (an
+    # argsort + jnp.take(p, order) would add a serial 1-D gather; see the
+    # same pattern in optim._dedup_row_grads).
+    sp, order = jax.lax.sort(
+        (p, jnp.arange(p.shape[0], dtype=jnp.int32)), num_keys=1
+    )
     sv = jnp.take(placed, order, axis=0)
     sm = jnp.where(jnp.take(odd, order), _HI, _LO)  # (R,) scalar masks
     first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])

@@ -53,6 +53,9 @@ def main() -> None:
                     help="cosine-decay the learning rate over the run")
     ap.add_argument("--lr", type=float, default=1e-3,
                     help="peak learning rate (notebook 3: SGDM 1e-3)")
+    ap.add_argument("--no-sr", action="store_true",
+                    help="disable stochastic rounding on 16-bit tables "
+                         "(round-to-nearest control)")
     ap.add_argument("--warmup", type=int, default=0, metavar="STEPS",
                     help="linear lr warmup over this many steps")
     ap.add_argument("--momentum", type=float, default=0.95,
@@ -182,7 +185,10 @@ def main() -> None:
         lr = args.lr
     trainer = Trainer(
         bess, bs, optax.sgd(lr, momentum=args.momentum), mesh=mesh, seed=seed,
-        entity_optimizer=RowSGDM(learning_rate=lr, momentum=args.momentum),
+        entity_optimizer=RowSGDM(
+            learning_rate=lr, momentum=args.momentum,
+            stochastic_rounding=not args.no_sr,
+        ),
         params=init_params,
     )
     stats = trainer.fit(n_epochs=args.epochs, log_every=200)
