@@ -751,12 +751,12 @@ def _planted_transe_rank_kernel(corrupt_tail: bool):
 def build_wikikg2_fixture(
     seed: int = 0,
     scale: float = 1.0,
-    structural_fraction: float = 0.90,
+    structural_fraction: float = 0.95,
     emb_size: int = 128,
     lattice_dim: int = 4,
     cluster_size: int = 64,
     noise: float = 0.08,
-    member_skew: float = 3.0,
+    member_skew: float = 8.0,
     n_eval_negative: int = N_EVAL_NEGATIVE,
     oracle_sample: int = 4000,
     eval_rows: Optional[int] = None,
@@ -779,10 +779,25 @@ def build_wikikg2_fixture(
     ANALYTICALLY by ``structural_fraction`` q: structural triples rank
     ~1 (a uniform negative lands in the right cluster w.p.
     ``cluster_size/n``), noise triples (the other ``1−q``) rank uniformly
-    (E[RR] ≈ ln(n_neg)/n_neg). q = 0.90 puts the ceiling near the real
-    bar (reference: valid MRR 0.893 vs the official 500 candidates,
-    ``/root/reference/notebooks/3_wikikg2_fp16.ipynb`` cell 32). The exact
-    oracle is also measured on a sample and returned on the planted model.
+    (E[RR] ≈ ln(n_neg)/n_neg). The exact oracle is also measured on a
+    sample and returned on the planted model.
+
+    **Calibration (round 3).** Defaults are q = 0.95, member_skew = 8 —
+    chosen so the fixture's OPTIMIZATION hardness matches the real
+    dataset's, measured by what the verbatim reference recipe extracts at
+    its own epoch budget. The original q = 0.90 / skew = 3 calibration
+    placed the ceiling near the real bar but made the fixture
+    demonstrably harder to optimize than real data: the recipe CONVERGED
+    at ~56% of ceiling (4x the epoch budget moved it −0.8 pt, cosine
+    decay −1; scale-0.05 lever study in BASELINE.md), whereas on real
+    data the same recipe reaches 0.893 — ≥89% of any ceiling ≤ 1. The
+    recalibration raises extraction to ~82-83% (converged; 2x epochs +
+    decay adds < 0.3 pt) while keeping the measured ceiling near the real
+    bar's neighborhood. The residual ~17% is the data-starvation floor of
+    an exactly-plantable structure at wikikg2's density (6.4 train
+    triples/entity): rarely-drawn cluster members cannot be placed to
+    noise-scale precision by ANY budget of SGD on 1-5 observations, while
+    the planted oracle places them exactly.
 
     NB the oracle ceiling is scale-dependent: ``n_eval_negative`` stays
     fixed while entities shrink, so at small ``scale`` more negatives land

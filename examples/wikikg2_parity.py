@@ -62,9 +62,10 @@ def main() -> None:
                     help="SGDM momentum (notebook 3: 0.95)")
     ap.add_argument("--n-negative", type=int, default=32,
                     help="random negatives per direction (notebook 3: 32)")
-    ap.add_argument("--fixture-structural", type=float, default=0.90,
-                    help="fixture structural_fraction (ceiling placement)")
-    ap.add_argument("--fixture-skew", type=float, default=3.0,
+    ap.add_argument("--fixture-structural", type=float, default=0.95,
+                    help="fixture structural_fraction (ceiling placement; "
+                         "see the calibration note in fixtures.py)")
+    ap.add_argument("--fixture-skew", type=float, default=8.0,
                     help="fixture member_skew (degree heavy-tail)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()

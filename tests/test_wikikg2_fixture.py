@@ -34,11 +34,12 @@ def test_planted_structure_is_noise_scale():
     ds, planted = _build()
     tri = ds.triples["train"][:4000]
     d = -planted.score(tri[:, 0], tri[:, 1], tri[:, 2])
-    # ~90% of triples are structural: |e_h + v_r - e_t| = |eta_h - eta_t|,
-    # expected ~ d * 2*noise/3 = 128 * 0.0533 ~ 6.8; noise triples are
-    # cluster-scale (orders of magnitude larger)
+    # ~95% of triples are structural (the calibrated default —
+    # fixtures.py "Calibration (round 3)"): |e_h + v_r - e_t| =
+    # |eta_h - eta_t|, expected ~ d * 2*noise/3 = 128 * 0.0533 ~ 6.8;
+    # noise triples are cluster-scale (orders of magnitude larger)
     frac_structural = float((d < 20).mean())
-    assert 0.85 < frac_structural < 0.95, frac_structural
+    assert 0.92 < frac_structural < 0.98, frac_structural
     assert np.median(d[d < 20]) < 10
     # oracle ceiling: reported, in the plausible band for this tiny scale
     assert 0.2 < planted.oracle_estimate < 0.9, planted.oracle_estimate
@@ -60,7 +61,15 @@ def test_fixture_is_learnable():
     from besskge_tpu.sharding import PartitionedTripleSet, Sharding
     from besskge_tpu.trainer import build_train_step, init_optimizer_state
 
-    ds, planted = _build(scale=0.0015)
+    # Pinned (pre-round-3-calibration) fixture params: at tiny scale with
+    # the heavy default member_skew a trained model can legitimately EXCEED
+    # the planted oracle (worst-tie ranking loses the ~n_neg*cluster/n
+    # co-cluster ties that dominate small-scale eval), which would break
+    # the eval-sanity upper bound below. This test checks OPTIMIZATION
+    # sanity, not the default calibration.
+    ds, planted = _build(
+        scale=0.0015, structural_fraction=0.90, member_skew=3.0
+    )
     sharding = Sharding.create(ds.n_entity, 1, seed=0)
     pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
     sf = TransE(
