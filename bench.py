@@ -94,6 +94,21 @@ def _tpu_kernel_selftest() -> None:
     want[idx_np] = rows_np
     np.testing.assert_allclose(np.asarray(out), want, rtol=0, atol=0)
 
+    from besskge_tpu.ops.pallas_scatter import scatter_rows_multi
+
+    mom_np = rng.normal(size=(512, 128)).astype(np.float32)
+    m_idx = rng.choice(512, size=21, replace=False).astype(np.int32)
+    m_rows = rng.normal(size=(21, 128)).astype(np.float32)
+    o0, o1 = scatter_rows_multi(
+        (jnp.asarray(tab_np), jnp.asarray(mom_np)),
+        (jnp.asarray(idx_np), jnp.asarray(m_idx)),
+        (jnp.asarray(rows_np), jnp.asarray(m_rows)),
+    )
+    np.testing.assert_allclose(np.asarray(o0), want, rtol=0, atol=0)
+    want_m = mom_np.copy()
+    want_m[m_idx] = m_rows
+    np.testing.assert_allclose(np.asarray(o1), want_m, rtol=0, atol=0)
+
     p = rng.normal(size=(256, 128)).astype(np.float32)
     mu = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
     nu = abs(rng.normal(size=(256, 128)).astype(np.float32)) * 0.01

@@ -64,6 +64,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: Batched-kernel tile shape (module-level so experiments can sweep them in
+#: a fresh process; benchmarks/exp_train_kernels.py). Defaults measured on
+#: v5e at the wikikg2 training shapes (8, 256, 288->384, 128).
+_BATCH_TB = 64
+_BATCH_TN = 1024
+_BATCH_TEMP_BYTES = 4 << 20
+_GRAD_TB = 128
+_GRAD_TN = 128
+
+
 def _d_chunk(d: int) -> int:
     """Reduction chunk: full-d wins up to 256; beyond that bound the
     (TB, db, TN) broadcast temp with the largest power-of-two divisor."""
@@ -241,12 +251,12 @@ def l1_distance_matrix_batched(
     N = b.shape[1]
     # Bigger row tiles than the unbatched kernel: the batch grid already
     # multiplies the program count, and per-program launch overhead (~µs)
-    # dominates at small tiles. Bound the (TB, db, TN) fp32 temp to ~4 MB.
-    TB = min(64, _round_up(B, 8))
-    TN = min(1024, _round_up(N, 128))
+    # dominates at small tiles. Bound the (TB, db, TN) fp32 temp.
+    TB = min(_BATCH_TB, _round_up(B, 8))
+    TN = min(_BATCH_TN, _round_up(N, 128))
     Bp, Np = _round_up(B, TB), _round_up(N, TN)
     db = d
-    while db > 8 and TB * db * TN * 4 > (4 << 20):
+    while db > 8 and TB * db * TN * 4 > _BATCH_TEMP_BYTES:
         db = (db + 1) // 2
     a_p = jnp.pad(a, ((0, 0), (0, Bp - B), (0, 0)))
     bt_p = jnp.pad(b, ((0, 0), (0, Np - N), (0, 0))).transpose(0, 2, 1)
@@ -393,8 +403,8 @@ def l1_distance_grads_batched(
     """
     G, B, d = a.shape
     N = b.shape[1]
-    TB = min(128, _round_up(B, 8))
-    TN = min(128, _round_up(N, 128))
+    TB = min(_GRAD_TB, _round_up(B, 8))
+    TN = min(_GRAD_TN, _round_up(N, 128))
     Bp, Np = _round_up(B, TB), _round_up(N, TN)
     a_p = jnp.pad(a, ((0, 0), (0, Bp - B), (0, 0)))
     b_p = jnp.pad(b, ((0, 0), (0, Np - N), (0, 0)))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["scatter_rows"]
+__all__ = ["scatter_rows", "scatter_rows_multi"]
 
 #: DMA pipeline depth (row copies in flight). Measured on v5e: the loop is
 #: ISSUE-bound (~23 ns/DMA of scalar-core work), so depth beyond 32 buys
@@ -51,29 +51,143 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
             rows_ref.at[pl.ds(i, 1)], dst, sems.at[i % _W]
         )
 
-    def body(k, _):
-        base = k * _U
-        for u in range(_U):
-            # Free each semaphore slot before reuse.
-            @pl.when(base + u >= _W)
-            def _():
-                dma(base + u - _W).wait()
+    if n <= _W:
+        # Small n: start everything, then wait for everything.
+        for i in range(n):
+            dma(i).start()
+        for i in range(n):
+            dma(i).wait()
+        return
 
+    # Issue-loop structure matters: the loop is scalar-core-bound
+    # (~23 ns/DMA), so the steady state carries NO branch — a guarded
+    # wait per DMA (the previous shape) costs an extra predicate each
+    # issue. Fill the window unguarded, run wait+start pairs, drain.
+    for i in range(_W):  # fill (static unroll)
+        dma(i).start()
+
+    def body(k, _):
+        base = _W + k * _U
+        for u in range(_U):
+            dma(base + u - _W).wait()
             dma(base + u).start()
         return 0
 
-    jax.lax.fori_loop(0, n // _U, body, 0)
+    # n and _W are multiples of _U (caller pads; _W % _U == 0).
+    jax.lax.fori_loop(0, (n - _W) // _U, body, 0)
 
     def drain(j, _):
-        i = jnp.maximum(n - _W, 0) + j
-
-        @pl.when(i < n)
-        def _():
-            dma(i).wait()
-
+        dma(n - _W + j).wait()
         return 0
 
-    jax.lax.fori_loop(0, min(_W, n), drain, 0)
+    jax.lax.fori_loop(0, _W, drain, 0)
+
+
+def _scatter_kernel_multi(*refs, n_buf: int):
+    # refs = idx_0..idx_{k-1}, rows_0.., table_0.., out_0.., sems
+    idxs = refs[:n_buf]
+    rows = refs[n_buf : 2 * n_buf]
+    outs = refs[3 * n_buf : 4 * n_buf]
+    sems = refs[-1]
+    n = idxs[0].shape[0]
+
+    def dma(i, b):
+        out_ref = outs[b]
+        dst = (
+            out_ref.at[0, pl.ds(idxs[b][i], 1)]
+            if len(out_ref.shape) == 3
+            else out_ref.at[pl.ds(idxs[b][i], 1)]
+        )
+        return pltpu.make_async_copy(
+            rows[b].at[pl.ds(i, 1)], dst, sems.at[i % _W, b]
+        )
+
+    def start(i):
+        for b in range(n_buf):
+            dma(i, b).start()
+
+    def wait(i):
+        for b in range(n_buf):
+            dma(i, b).wait()
+
+    if n <= _W:
+        for i in range(n):
+            start(i)
+        for i in range(n):
+            wait(i)
+        return
+
+    for i in range(_W):  # fill (static unroll)
+        start(i)
+
+    def body(k, _):
+        base = _W + k * _U
+        for u in range(_U):
+            wait(base + u - _W)
+            start(base + u)
+        return 0
+
+    jax.lax.fori_loop(0, (n - _W) // _U, body, 0)
+
+    def drain(j, _):
+        wait(n - _W + j)
+        return 0
+
+    jax.lax.fori_loop(0, _W, drain, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
+)
+def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
+    """In-place row writes into SEVERAL tables in ONE issue loop.
+
+    The sparse row optimizers write the param rows AND 1-2 fp32 moment-row
+    buffers with index lists of equal length each step. The scatter loop is
+    scalar-core ISSUE-bound (see :data:`_W`), so sharing one loop across
+    the buffers amortizes its per-iteration overhead — measured faster
+    than consecutive :func:`scatter_rows` calls — and saves k−1 kernel
+    launches.
+
+    :param tables: tuple of (n_rows_b, D) or (1, n_rows_b, D) tables, ALL
+        DONATED (outputs alias them). D must match across buffers.
+    :param idxs: tuple of (R_b,) int32 row indices, one list per table
+        (packed tables use merged packed indices, moments logical ones).
+    :param rows: tuple of (R_b, D) replacement rows (cast to table dtype).
+    :return: tuple of updated tables.
+    """
+    k = len(tables)
+    rows = tuple(r.astype(t.dtype) for r, t in zip(rows, tables))
+    n = max(i.shape[0] for i in idxs)
+    n += (-n) % _U
+    p_idx, p_rows = [], []
+    for i, r in zip(idxs, rows):
+        pad = n - i.shape[0]
+        if pad:
+            # Idempotent padding: repeat the last (index, row) pair.
+            i = jnp.concatenate([i, jnp.broadcast_to(i[-1:], (pad,))])
+            r = jnp.concatenate(
+                [r, jnp.broadcast_to(r[-1:], (pad, r.shape[-1]))]
+            )
+        p_idx.append(i.astype(jnp.int32))
+        p_rows.append(r)
+    hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel_multi, n_buf=k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=k,
+            grid=(1,),
+            in_specs=[hbm] * (2 * k),
+            out_specs=tuple([hbm] * k),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_W, k))],
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tables
+        ),
+        input_output_aliases={2 * k + b: b for b in range(k)},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(*p_idx, *p_rows, *tables)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))

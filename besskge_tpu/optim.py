@@ -161,6 +161,54 @@ def _apply_rows(
     return table.at[idx].set(rows)
 
 
+def _apply_rows_multi(writes):
+    """Apply several (table, idx, rows) row-writes, fused into ONE Pallas
+    scatter when possible (one scalar-core issue loop for all buffers —
+    the loop, not the DMA engine, is the scatter bottleneck; see
+    :mod:`besskge_tpu.ops.pallas_scatter`). Falls back to per-buffer
+    :func:`_apply_rows` otherwise. ``writes`` is a list of
+    ``(table, idx, rows)``; returns the updated tables in order."""
+    from besskge_tpu.packed import is_packed, merge_packed_row_writes
+
+    resolved = []
+    for table, idx, rows in writes:
+        if is_packed(_flat(table)):
+            idx, rows = merge_packed_row_writes(table, idx, rows)
+        else:
+            rows = rows.astype(table.dtype)
+        resolved.append((table, idx, rows))
+    if (
+        len(resolved) > 1
+        and jax.default_backend() == "tpu"
+        and all(
+            t.shape[-1] % 128 == 0 and t.dtype.itemsize == 4
+            for t, _, _ in resolved
+        )
+    ):
+        from besskge_tpu.ops.pallas_scatter import scatter_rows_multi
+
+        return scatter_rows_multi(
+            tuple(t for t, _, _ in resolved),
+            tuple(i for _, i, _ in resolved),
+            tuple(r for _, _, r in resolved),
+        )
+    out = []
+    for table, idx, rows in resolved:
+        if (
+            jax.default_backend() == "tpu"
+            and table.shape[-1] % 128 == 0
+            and table.dtype.itemsize == 4
+        ):
+            from besskge_tpu.ops.pallas_scatter import scatter_rows
+
+            out.append(scatter_rows(table, idx, rows))
+        elif table.ndim == 3:
+            out.append(table.at[0, idx].set(rows))
+        else:
+            out.append(table.at[idx].set(rows))
+    return tuple(out)
+
+
 def _read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """fp32 values of the touched logical rows (packed-storage aware)."""
     from besskge_tpu.packed import take_rows
@@ -277,14 +325,12 @@ class RowAdamW(EntityRowOptimizer):
         new_rows = p_rows - upd  # dtype handled by _apply_rows (packed-aware)
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_16(new_rows, idx, count, table)
-        return (
-            _apply_rows(table, idx, new_rows),
-            {
-                "mu": _apply_rows(state["mu"], idx, mu_rows),
-                "nu": _apply_rows(state["nu"], idx, nu_rows),
-                "count": count,
-            },
-        )
+        new_table, new_mu, new_nu = _apply_rows_multi([
+            (table, idx, new_rows),
+            (state["mu"], idx, mu_rows),
+            (state["nu"], idx, nu_rows),
+        ])
+        return new_table, {"mu": new_mu, "nu": new_nu, "count": count}
 
 
 @dataclasses.dataclass
@@ -313,15 +359,21 @@ class RowSGDM(EntityRowOptimizer):
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
         new_state = dict(state, count=state["count"] + 1)
+        m_rows = None
         if self.momentum != 0.0:
             m_rows = self.momentum * jnp.take(_flat(state["m"]), idx, axis=0) + g
-            new_state["m"] = _apply_rows(state["m"], idx, m_rows)
             g = m_rows
         # dtype handled in _apply_rows
         new_rows = p_rows - _lr_at(self.learning_rate, state["count"]) * g
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_16(new_rows, idx, new_state["count"], table)
-        return _apply_rows(table, idx, new_rows), new_state
+        if m_rows is None:
+            return _apply_rows(table, idx, new_rows), new_state
+        new_table, new_state["m"] = _apply_rows_multi([
+            (table, idx, new_rows),
+            (state["m"], idx, m_rows),
+        ])
+        return new_table, new_state
 
 
 @dataclasses.dataclass
@@ -350,13 +402,11 @@ class RowAdagrad(EntityRowOptimizer):
         )  # dtype handled by _apply_rows (packed-aware)
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_16(new_rows, idx, state["count"] + 1, table)
-        return (
-            _apply_rows(table, idx, new_rows),
-            {
-                "acc": _apply_rows(state["acc"], idx, acc_rows),
-                "count": state["count"] + 1,
-            },
-        )
+        new_table, new_acc = _apply_rows_multi([
+            (table, idx, new_rows),
+            (state["acc"], idx, acc_rows),
+        ])
+        return new_table, {"acc": new_acc, "count": state["count"] + 1}
 
 
 @dataclasses.dataclass

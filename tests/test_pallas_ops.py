@@ -482,3 +482,85 @@ def test_l1_scores_chunkmax_xla_fallback_matches():
         dist_mod._FUSED_L1_MODE = old
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-3)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# scatter_rows_multi (fused multi-buffer row writes)
+# ---------------------------------------------------------------------------
+
+from besskge_tpu.ops.pallas_scatter import scatter_rows_multi  # noqa: E402
+
+
+def test_scatter_rows_multi_two_buffers():
+    rng = np.random.default_rng(7)
+    t0 = rng.normal(size=(64, 128)).astype(np.float32)
+    t1 = rng.normal(size=(40, 128)).astype(np.float32)
+    i0 = np.array([3, 17, 0, 63, 40], dtype=np.int32)
+    i1 = np.array([1, 2, 3, 4, 39], dtype=np.int32)
+    r0 = rng.normal(size=(5, 128)).astype(np.float32)
+    r1 = rng.normal(size=(5, 128)).astype(np.float32)
+    o0, o1 = scatter_rows_multi(
+        (jnp.asarray(t0), jnp.asarray(t1)),
+        (jnp.asarray(i0), jnp.asarray(i1)),
+        (jnp.asarray(r0), jnp.asarray(r1)),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), _scatter_expected(t0, i0, r0))
+    np.testing.assert_array_equal(np.asarray(o1), _scatter_expected(t1, i1, r1))
+
+
+def test_scatter_rows_multi_three_buffers_unequal_lengths_and_3d():
+    # AdamW shape: params (3-D mesh block) + two fp32 moment buffers; index
+    # lists of different lengths get idempotent repeat-padding per buffer.
+    rng = np.random.default_rng(8)
+    t0 = rng.normal(size=(1, 32, 128)).astype(np.float32)
+    t1 = rng.normal(size=(64, 128)).astype(np.float32)
+    t2 = rng.normal(size=(64, 128)).astype(np.float32)
+    i0 = np.array([0, 31, 5], dtype=np.int32)
+    i1 = np.array([2, 3, 4, 5, 6, 7, 8], dtype=np.int32)
+    i2 = np.array([62, 63], dtype=np.int32)
+    r0 = rng.normal(size=(3, 128)).astype(np.float32)
+    r1 = rng.normal(size=(7, 128)).astype(np.float32)
+    r2 = rng.normal(size=(2, 128)).astype(np.float32)
+    o0, o1, o2 = scatter_rows_multi(
+        tuple(map(jnp.asarray, (t0, t1, t2))),
+        tuple(map(jnp.asarray, (i0, i1, i2))),
+        tuple(map(jnp.asarray, (r0, r1, r2))),
+        interpret=True,
+    )
+    e0 = t0.copy()
+    e0[0, i0] = r0
+    np.testing.assert_array_equal(np.asarray(o0), e0)
+    np.testing.assert_array_equal(np.asarray(o1), _scatter_expected(t1, i1, r1))
+    np.testing.assert_array_equal(np.asarray(o2), _scatter_expected(t2, i2, r2))
+
+
+def test_scatter_rows_multi_packed_plus_moment():
+    # SGDM-on-packed shape: uint32 packed param storage written with packed
+    # indices, fp32 momentum with logical indices, one fused kernel.
+    import besskge_tpu.packed as pk
+
+    rng = np.random.default_rng(9)
+    tab16 = rng.normal(size=(20, 128)).astype(np.float16)
+    packed = pk.pack_table(jnp.asarray(tab16))
+    mom = rng.normal(size=(20, 128)).astype(np.float32)
+    logical = np.array([4, 5, 11], dtype=np.int32)
+    new16 = rng.normal(size=(3, 128)).astype(np.float16)
+    p_idx, p_rows = pk.merge_packed_row_writes(
+        packed, jnp.asarray(logical), jnp.asarray(new16, jnp.float32)
+    )
+    m_rows = rng.normal(size=(3, 128)).astype(np.float32)
+    o_tab, o_mom = scatter_rows_multi(
+        (packed, jnp.asarray(mom)),
+        (p_idx, jnp.asarray(logical)),
+        (p_rows, jnp.asarray(m_rows)),
+        interpret=True,
+    )
+    exp = tab16.copy()
+    exp[logical] = new16
+    np.testing.assert_array_equal(
+        np.asarray(pk.unpack_table(o_tab, 20)), exp
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_mom), _scatter_expected(mom, logical, m_rows)
+    )
