@@ -4,7 +4,7 @@ CXX ?= g++
 NATIVE_SRC = csrc/bess_host.cpp
 NATIVE_LIB = besskge_tpu/_native_build/libbess_host.so
 
-.PHONY: all native test test-fast bench doc lint install clean
+.PHONY: all native test test-fast bench doc lint install clean ci
 
 all: native
 
@@ -32,6 +32,11 @@ lint:
 
 install:
 	pip install -e ".[dev]"
+
+# One-command CI aggregate (analog of the reference's `./dev ci`,
+# /root/reference/dev:55-160): build native lib, lint, type-check, run the
+# full suite on the 8-device virtual CPU mesh.
+ci: native lint test
 
 clean:
 	rm -rf besskge_tpu/_native_build .pytest_cache

@@ -242,7 +242,7 @@ def test_bn_ema_in_train_step_mesh_matches_global_batch():
 def test_sync_batch_norm_forward_uses_global_stats():
     """sync_batch_norm=True: _batch_stats pmeans mean/E[x^2] over the mesh
     axis, so every shard normalizes with GLOBAL batch statistics."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
