@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0,
                     help="fixture shrink factor (1.0 = published sizes)")
     ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--bps", type=int, default=48, metavar="N",
+                    help="micro-batches per optimizer update. The notebook "
+                         "updates every accum_factor=6 micro-batches "
+                         "(global update batch 240 x 4 shards x 6 = 5,760; "
+                         "deviceIterations=8 are separate updates) — the "
+                         "reference-cadence value on n_shard=1 is 24")
     ap.add_argument("--eval-triples", type=int, default=0,
                     help="cap on validation triples (0 = all)")
     ap.add_argument("--oracle-sample", type=int, default=2000,
@@ -126,7 +132,7 @@ def main() -> None:
         local_sampling=False, flat_negative_format=False,
     )
     bs = RigidShardedBatchSampler(
-        train_pts, ns, shard_bs=240, batches_per_step=48, seed=seed
+        train_pts, ns, shard_bs=240, batches_per_step=args.bps, seed=seed
     )
     bess = EmbeddingMovingBessKGE(
         negative_sampler=ns,
@@ -142,7 +148,7 @@ def main() -> None:
     # --lr-decay adds a cosine floor (the notebook keeps lr constant; the
     # decay trades nothing of the recipe but the schedule).
     total_steps = args.epochs * max(
-        1, len(ds.triples["train"]) // (48 * n_shard * 240)
+        1, len(ds.triples["train"]) // (args.bps * n_shard * 240)
     )
     if args.lr_decay:
         lr = optax.warmup_cosine_decay_schedule(
@@ -163,7 +169,7 @@ def main() -> None:
     print(
         f"train: {stats['steps']} steps, {stats['triples_per_s']:.0f} pos"
         f" triples/s, final loss/triple "
-        f"{stats['final_loss'] / (48 * n_shard * 240):.4f}"
+        f"{stats['final_loss'] / (args.bps * n_shard * 240):.4f}"
     )
     params = trainer.params
 
