@@ -168,21 +168,29 @@ class DeviceBatchSampler:
         the triple array is a runtime buffer, not a baked-in HLO constant).
         Replicate it over the mesh (``P()`` spec).
 
-        Triples are stored as three 1-D columns: a 2-D ``(n, 3)`` int32
-        array would get its minor dim lane-padded 3 → 128 by the TPU tiled
-        layout — 42x the HBM and 42x the bytes per gathered row.
+        Triples are stored as ONE 1-D triple-major column (``h, r, t`` of
+        triple 0, then triple 1, ...): a 2-D ``(n, 3)`` int32 array would
+        get its minor dim lane-padded 3 → 128 by the TPU tiled layout (42x
+        the HBM), while three separate columns cost three gather loops per
+        draw where the interleave needs one.
         """
         st = {
-            "h": jnp.asarray(self._triples[:, 0]),
-            "r": jnp.asarray(self._triples[:, 1]),
-            "t": jnp.asarray(self._triples[:, 2]),
+            # Triple-major interleave [h0, r0, t0, h1, r1, t1, ...]: a run
+            # of ppp triples is ONE contiguous 3*ppp slice, so the whole
+            # positive draw is a single batched-slice gather (one serial
+            # DMA loop) instead of three — the 3-column layout spent ~12%
+            # of the biokg step in three gather loops (round-4 trace).
+            "hrt": jnp.asarray(self._triples.reshape(-1)),
         }
         if self._weights is not None:
             st["weights"] = jnp.asarray(self._weights)
         if self._negative_kind == "type":
             ns = self.negative_sampler
+            # 1-D pair-major [(h_type0, t_type0), ...]: a 2-D (n, 2) int32
+            # array would get its minor dim lane-padded 2 -> 128 by the TPU
+            # tiled layout — 64x the HBM at wikikg2 scale.
             st["triple_types"] = jnp.asarray(
-                np.asarray(ns.triple_types, np.int32)
+                np.asarray(ns.triple_types, np.int32).reshape(-1)
             )
             st["type_counts"] = jnp.asarray(
                 np.asarray(ns.type_counts, np.int32)
@@ -227,25 +235,24 @@ class DeviceBatchSampler:
             u = jax.random.uniform(k_pos, (bps, *counts.shape))
             starts = offsets + (u * (counts - ppp + 1)).astype(jnp.int32)
             sample_idx = starts[..., None] + jnp.arange(ppp, dtype=jnp.int32)
-            flat = starts.reshape(-1, 1)  # (bps*S*S, 1) run starts
-            # One batched-slice gather per column: slice_sizes=(ppp,) makes
-            # every gathered "row" a CONTIGUOUS run (the vector form of one
-            # dynamic_slice per run). Unlike a Python-unrolled slab loop the
-            # program size is flat in bps and S (compile time stays constant
-            # at pod-slice shard counts); unlike an element gather each run
-            # is still one contiguous DMA.
+            flat = (3 * starts).reshape(-1, 1)  # (bps*S*S, 1) run starts
+            # ONE batched-slice gather for all three columns: in the
+            # triple-major interleave a run of ppp triples is a contiguous
+            # 3*ppp slice (the vector form of one dynamic_slice per run).
+            # Unlike a Python-unrolled slab loop the program size is flat
+            # in bps and S (compile time stays constant at pod-slice shard
+            # counts); unlike an element gather each run is one DMA.
             dn = jax.lax.GatherDimensionNumbers(
                 offset_dims=(1,), collapsed_slice_dims=(),
                 start_index_map=(0,),
             )
-            cols = [
-                jax.lax.gather(
-                    state[name], flat, dn, (ppp,),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                ).reshape(shape)
-                for name in ("h", "r", "t")
-            ]
-            head, relation, tail = cols
+            runs = jax.lax.gather(
+                state["hrt"], flat, dn, (3 * ppp,),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(*shape, 3)
+            head = runs[..., 0]
+            relation = runs[..., 1]
+            tail = runs[..., 2]
         else:
             counts = jnp.asarray(self._counts, jnp.float32)[None, ..., None]
             offsets = jnp.asarray(self._offsets, jnp.int32)[None, ..., None]
@@ -254,9 +261,19 @@ class DeviceBatchSampler:
             # negligible at real partition sizes, and avoids per-element-bound
             # randint (unsupported) or a modulo (biased at large counts).
             sample_idx = offsets + (u * counts).astype(jnp.int32)
-            head = jnp.take(state["h"], sample_idx, axis=0)
-            relation = jnp.take(state["r"], sample_idx, axis=0)
-            tail = jnp.take(state["t"], sample_idx, axis=0)
+            # One 3-element contiguous slice per triple (vs three separate
+            # single-element gathers in a columnar layout).
+            dn = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,),
+            )
+            trip = jax.lax.gather(
+                state["hrt"], (3 * sample_idx).reshape(-1, 1), dn, (3,),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(*shape, 3)
+            head = trip[..., 0]
+            relation = trip[..., 1]
+            tail = trip[..., 2]
         if self.triple_partition_mode == "ht_shardpair":
             # Pre-transpose tails (shard_h <-> shard_t) for the AllToAll.
             tail = jnp.swapaxes(tail, 1, 2)
@@ -300,7 +317,13 @@ class DeviceBatchSampler:
         # the consumer triple's corrupted-entity type (reference
         # ``besskge/negative_sampler.py`` TypeBased; host twin
         # ``negative_sampler.py:164-202``).
-        types = jnp.take(state["triple_types"], sample_idx, axis=0)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,),
+        )
+        types = jax.lax.gather(
+            state["triple_types"], (2 * sample_idx).reshape(-1, 1), dn, (2,),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(*sample_idx.shape, 2)
         head_type, tail_type = types[..., 0], types[..., 1]
         if ns.corruption_scheme == "h":
             corrupt = head_type

@@ -461,9 +461,10 @@ def test_runs_mode_gather_matches_element_gather():
         u = jax.random.uniform(k_pos, (bps, *counts.shape))
         starts = offsets + (u * (counts - ppp + 1)).astype(jnp.int32)
         idx = np.asarray(starts)[..., None] + np.arange(ppp)
-        h = np.asarray(state["h"])[idx]
-        r = np.asarray(state["r"])[idx]
-        t = np.asarray(state["t"])[idx]
+        hrt = np.asarray(state["hrt"]).reshape(-1, 3)
+        h = hrt[:, 0][idx]
+        r = hrt[:, 1][idx]
+        t = hrt[:, 2][idx]
         np.testing.assert_array_equal(np.asarray(batch["head"]), h)
         np.testing.assert_array_equal(np.asarray(batch["relation"]), r)
         np.testing.assert_array_equal(
