@@ -327,7 +327,9 @@ class EmbeddingMovingBessKGE(BessKGE):
         # Fused gather from the local shard (device hot loop #1).
         if gathered_emb is None:
             gathered_emb = take_rows(
-                table, self.gather_plan(head, tail, negative)
+                table,
+                self.gather_plan(head, tail, negative),
+                width=self.entity_embedding_size,
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -460,7 +462,9 @@ class ScoreMovingBessKGE(BessKGE):
 
         if gathered_emb is None:
             gathered_emb = take_rows(
-                table, self.gather_plan(head, tail, negative)
+                table,
+                self.gather_plan(head, tail, negative),
+                width=self.entity_embedding_size,
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -808,9 +812,13 @@ class TopKQueryBessKGE:
 
         relation_all = self._all_gather(relation).reshape(-1)
         if scheme == "h":
-            known_emb_all = self._all_gather(take_rows(table, tail))
+            known_emb_all = self._all_gather(
+                take_rows(table, tail, width=self.entity_embedding_size)
+            )
         else:
-            known_emb_all = self._all_gather(take_rows(table, head))
+            known_emb_all = self._all_gather(
+                take_rows(table, head, width=self.entity_embedding_size)
+            )
         known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
         cd = self.score_fn.compute_dtype
         if cd is not None:
@@ -877,7 +885,8 @@ class TopKQueryBessKGE:
                 )
                 if fused_query is not None:
                     neg_rows = take_contiguous_rows(
-                        table, start, window_size
+                        table, start, window_size,
+                        width=self.entity_embedding_size,
                     )
                     if cd is not None:
                         neg_rows = neg_rows.astype(cd)
@@ -893,7 +902,8 @@ class TopKQueryBessKGE:
                         curr_score, curr_idx,
                     )
                 neg_emb = take_contiguous_rows(
-                    table, start, window_size
+                    table, start, window_size,
+                    width=self.entity_embedding_size,
                 )[None]
             else:
                 slide = (
@@ -907,7 +917,9 @@ class TopKQueryBessKGE:
                         valid, gather_indices(mask_rows, slide)
                     )
                 neg_ent_idx = gather_indices(candidate, slide)
-                neg_emb = take_rows(table, neg_ent_idx)
+                neg_emb = take_rows(
+                    table, neg_ent_idx, width=self.entity_embedding_size
+                )
             if cd is not None:
                 neg_emb = neg_emb.astype(cd)
             if scheme == "h":
@@ -1074,7 +1086,7 @@ class AllScoresBESS:
         relation_all = self._all_gather(relation).reshape(-1)
         known = tail if scheme == "h" else head
         known_emb_all = self._all_gather(
-            take_rows(table, known)
+            take_rows(table, known, width=self.entity_embedding_size)
         ).reshape(-1, self.entity_embedding_size)
         cd = self.score_fn.compute_dtype
         if cd is not None:
@@ -1092,13 +1104,17 @@ class AllScoresBESS:
         w = self.window_size
         if w <= row_cap and not (packed_tab and w % 2):
             start = jnp.minimum(step * w, row_cap - w)
-            neg_emb = take_contiguous_rows(table, start, w)[None]
+            neg_emb = take_contiguous_rows(
+                table, start, w, width=self.entity_embedding_size
+            )[None]
         else:
             ent_slice = jnp.minimum(
                 step * w + jnp.arange(w, dtype=jnp.int32),
                 self.sharding.max_entity_per_shard - 1,
             )
-            neg_emb = take_rows(table, ent_slice)[None]
+            neg_emb = take_rows(
+                table, ent_slice, width=self.entity_embedding_size
+            )[None]
         if cd is not None:
             neg_emb = neg_emb.astype(cd)
 

@@ -92,9 +92,27 @@ def save_checkpoint(
     sharding: Optional[Sharding] = None,
     step: int = 0,
     extra_meta: Optional[Dict[str, Any]] = None,
+    interleaved_entity: bool = False,
 ) -> None:
-    """Write params (+ optimizer state + sharding) to one ``.npz`` file."""
+    """Write params (+ optimizer state + sharding) to one ``.npz`` file.
+
+    ``interleaved_entity=True`` de-interleaves a ``[params | momentum]``
+    entity table (:class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``)
+    at the boundary: the file stores the plain ``(N, D)`` table under
+    ``params/entity_embedding`` and the momentum under ``opt/entity/m`` —
+    byte-compatible with a checkpoint written by a NON-interleaved run, so
+    the storage layout is a pure runtime choice.
+    """
     path = Path(path)
+    if interleaved_entity:
+        wide = np.asarray(params["entity_embedding"])
+        d = wide.shape[-1] // 2
+        p_half, m_half = wide[..., :d], wide[..., d:]
+        params = dict(params, entity_embedding=p_half)
+        if opt_state is not None and isinstance(opt_state, dict):
+            ent = dict(opt_state.get("entity", {}))
+            ent["m"] = m_half
+            opt_state = dict(opt_state, entity=ent)
     arrays = {f"params{_SEP}{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
         arrays.update(
@@ -134,6 +152,7 @@ def load_checkpoint(
     path: Path,
     new_sharding: Optional[Sharding] = None,
     like: Any = None,
+    interleave_entity: bool = False,
 ) -> Tuple[Dict[str, Any], Any, Optional[Sharding], Dict[str, Any]]:
     """Load a checkpoint; optionally re-shard onto ``new_sharding``.
 
@@ -146,6 +165,12 @@ def load_checkpoint(
     Re-sharding permutes the entity table AND any optimizer-state arrays of
     the same (table) shape through the global-ID maps, so training resumes
     bit-consistently on a different device count.
+
+    ``interleave_entity=True`` rebuilds the ``[params | momentum]`` wide
+    table for an interleaved :class:`besskge_tpu.optim.RowSGDM` run from
+    the plain on-disk layout (``opt/entity/m`` is consumed; a checkpoint
+    with no momentum re-interleaves against zeros). Applied AFTER
+    re-sharding, so both halves permute consistently.
 
     :return: ``(params, opt_state, sharding, meta)``.
     """
@@ -214,6 +239,24 @@ def load_checkpoint(
         if opt_state is not None:
             opt_state = reshard_tree(opt_state)
         sharding = new_sharding
+
+    if interleave_entity:
+        tab = np.asarray(params["entity_embedding"])
+        mom = None
+        if isinstance(opt_state, dict) and isinstance(
+            opt_state.get("entity"), dict
+        ):
+            ent = dict(opt_state["entity"])
+            mom = ent.pop("m", None)
+            opt_state = dict(opt_state, entity=ent)
+        if mom is None:
+            mom = np.zeros_like(tab)
+        params = dict(
+            params,
+            entity_embedding=np.concatenate(
+                [tab, np.asarray(mom).astype(tab.dtype)], axis=-1
+            ),
+        )
 
     return params, opt_state, sharding, meta
 

@@ -182,7 +182,9 @@ def unpack_table_host(packed: np.ndarray, n_logical: int) -> np.ndarray:
     return out[:n_logical]
 
 
-def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def take_rows(
+    table: jnp.ndarray, idx: jnp.ndarray, width: int | None = None
+) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
     tables and a gather + elementwise plane-select for packed ones.
 
@@ -190,9 +192,30 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     (bf16 for packed tables). Every entity-table gather in the framework
     routes through here so packed storage is transparent to the BESS
     programs.
+
+    ``width`` (optional) is the LOGICAL embedding width: when the stored
+    row is wider — an interleaved-optimizer-state table holds
+    ``[params | momentum]`` in one ``(N, 2D)`` buffer
+    (:class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``) — only the
+    first ``width`` columns are gathered, via an explicit ``lax.gather``
+    with ``slice_sizes=(1, width)`` so the momentum half never leaves HBM
+    (no full-row gather + slice, which would read 2x the bytes).
     """
     t = _flat(table)
     if not is_packed(t):
+        if width is not None and width != t.shape[-1]:
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(idx.ndim,),
+                collapsed_slice_dims=(0,),
+                start_index_map=(0,),
+            )
+            return jax.lax.gather(
+                t,
+                idx[..., None],
+                dnums,
+                slice_sizes=(1, width),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )
         return jnp.take(table, idx, axis=0)
     pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
@@ -201,7 +224,7 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def take_contiguous_rows(
-    table: jnp.ndarray, start: jnp.ndarray, w: int
+    table: jnp.ndarray, start: jnp.ndarray, w: int, width: int | None = None
 ) -> jnp.ndarray:
     """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
 
@@ -210,9 +233,15 @@ def take_contiguous_rows(
     windows over local entities (TopK / AllScores) should never gather.
     ``start`` must be even for packed tables (callers align window starts);
     out-of-range starts are clamped by ``dynamic_slice`` semantics.
+    ``width`` restricts to the first ``width`` columns (interleaved
+    optimizer-state tables — see :func:`take_rows`).
     """
     t = _flat(table)
     if not is_packed(t):
+        if width is not None and width != t.shape[-1]:
+            return jax.lax.dynamic_slice(
+                t, (start, jnp.zeros_like(start)), (w, width)
+            )
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
     pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
     half = half_dtype(t)

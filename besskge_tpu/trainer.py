@@ -156,7 +156,9 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
 
         def mb_fn(mb, step_rng):
             idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
-            gathered = take_rows(table, idx)
+            gathered = take_rows(
+                table, idx, width=bess.entity_embedding_size
+            )
             srng = step_rng if rng is not None else None
 
             def f(g, o):
@@ -487,6 +489,7 @@ class Trainer:
         self.bess = bess
         self.batch_sampler = batch_sampler
         self.optimizer = optimizer
+        self.entity_optimizer = entity_optimizer
         self.mesh = mesh
         self.device_sampling = isinstance(batch_sampler, DeviceBatchSampler)
         self.steps_per_call = steps_per_call
@@ -495,6 +498,17 @@ class Trainer:
                 "steps_per_call requires a DeviceBatchSampler"
             )
         raw = params if params is not None else bess.score_fn.initial_params()
+        if entity_optimizer is not None and getattr(
+            entity_optimizer, "interleaved", False
+        ):
+            from besskge_tpu.optim import interleave_momentum
+
+            tab = jnp.asarray(raw["entity_embedding"])
+            if tab.shape[-1] == bess.score_fn.entity_row_size:
+                # widen [params] -> [params | zero momentum]; a resumed
+                # table that is already 2x wide passes through unchanged
+                raw = dict(raw)
+                raw["entity_embedding"] = interleave_momentum(tab)
         if mesh is not None:
             from besskge_tpu.parallel.mesh import shard_params
 
@@ -680,6 +694,9 @@ class Trainer:
             opt_state=self.opt_state,
             sharding=self.bess.sharding,
             step=step,
+            interleaved_entity=bool(
+                getattr(self.entity_optimizer, "interleaved", False)
+            ),
         )
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:

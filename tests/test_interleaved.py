@@ -1,0 +1,271 @@
+"""Interleaved-momentum entity tables (VERDICT r3 #2).
+
+``RowSGDM(interleaved=True)`` stores the momentum in the second half of a
+widened ``(N, 2D)`` param table so the sparse update gathers and scatters
+ONE buffer (half the DMA issues — the sparse step's scatter is
+scalar-core issue-bound, BASELINE.md roofline). These tests pin:
+
+* bit-level trajectory equivalence with the separate-buffer ``RowSGDM`` on
+  the full mesh train step (same batches, same seeds);
+* width-aware gathers: forward scores with a wide table equal those with
+  the plain table (train and the three eval programs' gather paths);
+* checkpoint round-trips: a checkpoint saved from an interleaved run is
+  byte-compatible with a non-interleaved one (``params/entity_embedding``
+  is the plain table, momentum under ``opt/entity/m``) and loads back in
+  either layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from besskge_tpu.batch_sampler import RandomShardedBatchSampler
+from besskge_tpu.bess import EmbeddingMovingBessKGE
+from besskge_tpu.dataset import KGDataset
+from besskge_tpu.checkpoint import load_checkpoint, save_checkpoint
+from besskge_tpu.loss import LogSigmoidLoss
+from besskge_tpu.negative_sampler import RandomShardedNegativeSampler
+from besskge_tpu.optim import RowSGDM, interleave_momentum, split_interleaved
+from besskge_tpu.parallel import make_shard_mesh, shard_batch, shard_params
+from besskge_tpu.scoring import DistMult
+from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+from besskge_tpu.trainer import build_train_step, init_optimizer_state
+
+SEED = 7
+N_ENTITY = 90
+N_RELATION = 4
+N_SHARD = 4
+
+
+def _setup():
+    rng = np.random.default_rng(SEED)
+    trip = np.stack(
+        [
+            rng.integers(N_ENTITY, size=1200),
+            rng.integers(N_RELATION, size=1200),
+            rng.integers(N_ENTITY, size=1200),
+        ],
+        1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=N_ENTITY,
+        n_relation_type=N_RELATION,
+        entity_dict=None,
+        relation_dict=None,
+        type_offsets=None,
+        triples={"train": trip},
+        original_triple_ids={"train": np.arange(1200)},
+        neg_heads=None,
+        neg_tails=None,
+    )
+    sharding = Sharding.create(N_ENTITY, N_SHARD, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
+    score_fn = DistMult(
+        negative_sample_sharing=True,
+        sharding=sharding,
+        n_relation_type=N_RELATION,
+        embedding_size=16,
+        seed=2,
+    )
+    ns = RandomShardedNegativeSampler(
+        8, sharding, SEED, "t", local_sampling=False, flat_negative_format=True
+    )
+    bs = RandomShardedBatchSampler(
+        pts, ns, shard_bs=16, batches_per_step=4, seed=SEED
+    )
+    bess = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=score_fn,
+        loss_fn=LogSigmoidLoss(margin=2.0, negative_adversarial_sampling=False),
+    )
+    return bess, bs, score_fn, sharding
+
+
+def _run(bess, bs, score_fn, interleaved, n_steps=4, batches=None):
+    mesh = make_shard_mesh(N_SHARD)
+    params = shard_params(
+        {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()},
+        mesh,
+    )
+    if interleaved:
+        params = dict(params)
+        params["entity_embedding"] = interleave_momentum(
+            params["entity_embedding"]
+        )
+        params = shard_params(params, mesh)
+    opt = optax.sgd(0.3)
+    row = RowSGDM(learning_rate=0.3, momentum=0.9, weight_decay=0.01,
+                  interleaved=interleaved)
+    state = init_optimizer_state(opt, params, mesh, row)
+    step = build_train_step(bess, opt, mesh, row, donate=False)
+    losses = []
+    if batches is None:
+        # the host sampler's RNG is stateful — pre-sample when comparing runs
+        batches = [bs.sample_batch([i]) for i in range(n_steps)]
+    for b in batches[:n_steps]:
+        params, state, out = step(params, state, shard_batch(b, mesh))
+        losses.append(float(out["loss"]))
+    return params, state, losses
+
+
+def test_interleaved_matches_separate_buffers():
+    bess, bs, score_fn, _ = _setup()
+    batches = [bs.sample_batch([i]) for i in range(4)]
+    p_sep, s_sep, l_sep = _run(
+        bess, bs, score_fn, interleaved=False, batches=batches
+    )
+    p_int, s_int, l_int = _run(
+        bess, bs, score_fn, interleaved=True, batches=batches
+    )
+    np.testing.assert_allclose(l_sep, l_int, rtol=1e-6)
+    tab_int, mom_int = split_interleaved(p_int["entity_embedding"])
+    # bit-exact on CPU: the interleaved step applies the identical update
+    # arithmetic, only the storage layout differs
+    np.testing.assert_array_equal(
+        np.asarray(tab_int), np.asarray(p_sep["entity_embedding"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mom_int), np.asarray(s_sep["entity"]["m"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_int["relation_embedding"]),
+        np.asarray(p_sep["relation_embedding"]),
+    )
+
+
+def test_wide_table_forward_scores_match_plain():
+    """Width-aware gathers: inference scores from a [params | momentum]
+    table equal the plain-table scores (the momentum half is never read)."""
+    rng = np.random.default_rng(SEED)
+    trip = np.stack(
+        [
+            rng.integers(N_ENTITY, size=600),
+            rng.integers(N_RELATION, size=600),
+            rng.integers(N_ENTITY, size=600),
+        ],
+        1,
+    ).astype(np.int32)
+    ds = KGDataset(
+        n_entity=N_ENTITY, n_relation_type=N_RELATION, entity_dict=None,
+        relation_dict=None, type_offsets=None, triples={"train": trip},
+        original_triple_ids={"train": np.arange(600)},
+        neg_heads=None, neg_tails=None,
+    )
+    sharding1 = Sharding.create(N_ENTITY, 1, seed=SEED)
+    pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding1)
+    score_fn = DistMult(
+        negative_sample_sharing=True, sharding=sharding1,
+        n_relation_type=N_RELATION, embedding_size=16, seed=2,
+    )
+    ns = RandomShardedNegativeSampler(
+        8, sharding1, SEED, "t",
+        local_sampling=False, flat_negative_format=True,
+    )
+    bs = RandomShardedBatchSampler(
+        pts, ns, shard_bs=16, batches_per_step=4, seed=SEED
+    )
+    bess_1 = EmbeddingMovingBessKGE(
+        negative_sampler=ns,
+        score_fn=score_fn,
+        loss_fn=LogSigmoidLoss(
+            margin=2.0, negative_adversarial_sampling=False
+        ),
+        axis_name=None,
+        return_scores=True,
+    )
+    params = {k: jnp.asarray(v) for k, v in score_fn.initial_params().items()}
+    wide = dict(params)
+    wide["entity_embedding"] = interleave_momentum(
+        params["entity_embedding"],
+        momentum=jnp.full_like(params["entity_embedding"], 123.0),
+    )
+    from besskge_tpu.bess import build_bess_forward
+
+    batch = {
+        k: jnp.asarray(v) for k, v in bs.sample_batch([0]).items()
+        if k in ("head", "relation", "tail", "negative")
+    }
+    fwd = build_bess_forward(bess_1)
+    out_plain = fwd(params, batch)
+    out_wide = fwd(wide, batch)
+    np.testing.assert_allclose(
+        np.asarray(out_plain["negative_score"]),
+        np.asarray(out_wide["negative_score"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain["positive_score"]),
+        np.asarray(out_wide["positive_score"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_checkpoint_roundtrip_interleaved(tmp_path):
+    """Interleaved save -> on-disk plain layout -> load back interleaved
+    AND load back plain; both reproduce the exact trajectory state."""
+    bess, bs, score_fn, sharding = _setup()
+    p_int, s_int, _ = _run(bess, bs, score_fn, interleaved=True)
+    path = tmp_path / "ck.npz"
+    save_checkpoint(
+        path,
+        {k: np.asarray(v) for k, v in p_int.items()},
+        opt_state=jax.tree.map(np.asarray, s_int),
+        sharding=sharding,
+        step=4,
+        interleaved_entity=True,
+    )
+    tab, mom = split_interleaved(p_int["entity_embedding"])
+
+    # plain load: byte-compatible with a non-interleaved RowSGDM checkpoint
+    params_p, opt_p, _, meta = load_checkpoint(path)
+    assert meta["step"] == 4
+    np.testing.assert_array_equal(
+        params_p["entity_embedding"], np.asarray(tab)
+    )
+    np.testing.assert_array_equal(
+        opt_p["entity"]["m"], np.asarray(mom)
+    )
+
+    # interleaved load: wide table rebuilt, momentum consumed from opt/m
+    params_i, opt_i, _, _ = load_checkpoint(path, interleave_entity=True)
+    np.testing.assert_array_equal(
+        params_i["entity_embedding"], np.asarray(p_int["entity_embedding"])
+    )
+    assert "m" not in opt_i["entity"]
+
+    # resuming from the re-interleaved state matches resuming from the
+    # original wide state bit-for-bit for another step
+    mesh = make_shard_mesh(N_SHARD)
+    opt = optax.sgd(0.3)
+    row = RowSGDM(learning_rate=0.3, momentum=0.9, weight_decay=0.01,
+                  interleaved=True)
+    step = build_train_step(bess, opt, mesh, row, donate=False)
+    b = shard_batch(bs.sample_batch([99]), mesh)
+
+    def one(params, state):
+        params = shard_params(
+            {k: jnp.asarray(v) for k, v in params.items()}, mesh
+        )
+        state = jax.tree.map(jnp.asarray, state)
+        p2, _, out = step(params, state, b)
+        return np.asarray(p2["entity_embedding"]), float(out["loss"])
+
+    t_orig, l_orig = one(p_int, s_int)
+    t_resumed, l_resumed = one(params_i, {
+        "entity": {k: v for k, v in opt_i["entity"].items()},
+        "other": s_int["other"],
+    })
+    assert l_orig == l_resumed
+    np.testing.assert_array_equal(t_orig, t_resumed)
+
+
+def test_interleaved_requires_fp32_and_momentum():
+    import pytest
+
+    row = RowSGDM(learning_rate=0.1, momentum=0.0, interleaved=True)
+    with pytest.raises(ValueError, match="momentum"):
+        row.init(jnp.zeros((8, 32), jnp.float32))
+    row2 = RowSGDM(learning_rate=0.1, momentum=0.9, interleaved=True)
+    with pytest.raises(ValueError, match="fp32"):
+        row2.init(jnp.zeros((8, 32), jnp.bfloat16))
