@@ -272,16 +272,16 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
         augment_negative=True, axis_name=None,
     )
     opt = optax.sgd(1e-3, momentum=0.9)
-    # fp32 sparse config: momentum interleaved into the (N, 2D) param
-    # table — one gather + one scatter touch both (halves the DMA issue
-    # count; checkpoint save/load de/re-interleaves, so the on-disk format
-    # is unchanged — see tests/test_interleaved.py).
-    # TODO(row-pair kernel): the (N, 2D) wide-row scatter hits a Mosaic
-    # tiling limit (a 256-wide fp32 row is two discontiguous 512B
-    # fragments under (8,128) tiling — memref_slice refuses 1-row slices
-    # of multi-lane-tile memrefs); flipping this on awaits the (2N, 128)
-    # row-pair layout whose (2,128) pair slices ARE contiguous.
-    interleave = False
+    # fp32 sparse config: momentum interleaved pair-major into a (2N, D)
+    # param buffer — one (2, D) gather slice + one (2, D) scatter DMA
+    # touch param and momentum together (halves the DMA issue count;
+    # checkpoint save/load de/re-interleaves, so the on-disk format is
+    # unchanged — see tests/test_interleaved.py). A (N, 2D) wide-row
+    # layout is NOT expressible: Mosaic memref_slice refuses 1-row
+    # slices of multi-lane-tile memrefs (a 256-wide fp32 row is two
+    # discontiguous 512B fragments under (8,128) tiling), while (2,128)
+    # pair slices at even offsets are tile-contiguous.
+    interleave = True
     row = RowSGDM(learning_rate=1e-3, momentum=0.9, interleaved=interleave)
     params = score_fn.initial_params_device()
     if interleave:

@@ -57,6 +57,7 @@ from besskge_tpu.scoring import (
     DistanceBasedScoreFunction,
 )
 from besskge_tpu.packed import is_packed as pk_is_packed
+from besskge_tpu.packed import is_paired as pk_is_paired
 from besskge_tpu.packed import take_contiguous_rows, take_rows
 from besskge_tpu.utils import gather_indices
 
@@ -329,7 +330,7 @@ class EmbeddingMovingBessKGE(BessKGE):
             gathered_emb = take_rows(
                 table,
                 self.gather_plan(head, tail, negative),
-                width=self.entity_embedding_size,
+                n_logical=self.sharding.max_entity_per_shard,
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -464,7 +465,7 @@ class ScoreMovingBessKGE(BessKGE):
             gathered_emb = take_rows(
                 table,
                 self.gather_plan(head, tail, negative),
-                width=self.entity_embedding_size,
+                n_logical=self.sharding.max_entity_per_shard,
             )
         cd = self.score_fn.compute_dtype
         if cd is not None and gathered_emb.dtype != cd:
@@ -813,11 +814,11 @@ class TopKQueryBessKGE:
         relation_all = self._all_gather(relation).reshape(-1)
         if scheme == "h":
             known_emb_all = self._all_gather(
-                take_rows(table, tail, width=self.entity_embedding_size)
+                take_rows(table, tail, n_logical=self.sharding.max_entity_per_shard)
             )
         else:
             known_emb_all = self._all_gather(
-                take_rows(table, head, width=self.entity_embedding_size)
+                take_rows(table, head, n_logical=self.sharding.max_entity_per_shard)
             )
         known_emb_all = known_emb_all.reshape(-1, self.entity_embedding_size)
         cd = self.score_fn.compute_dtype
@@ -832,7 +833,15 @@ class TopKQueryBessKGE:
         # never sees an entity twice.
         t_flat = table[0] if table.ndim == 3 else table
         packed_tab = pk_is_packed(t_flat)
-        row_cap = 2 * t_flat.shape[0] if packed_tab else t_flat.shape[0]
+        # logical row cap: packed tables back 2 logical rows per physical
+        # row; pair-major interleaved tables (optimizer state interleaved,
+        # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
+        if packed_tab:
+            row_cap = 2 * t_flat.shape[0]
+        elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = t_flat.shape[0] // 2
+        else:
+            row_cap = t_flat.shape[0]
         contiguous = (
             mask_rows is None
             and window_size <= row_cap
@@ -886,7 +895,7 @@ class TopKQueryBessKGE:
                 if fused_query is not None:
                     neg_rows = take_contiguous_rows(
                         table, start, window_size,
-                        width=self.entity_embedding_size,
+                        n_logical=self.sharding.max_entity_per_shard,
                     )
                     if cd is not None:
                         neg_rows = neg_rows.astype(cd)
@@ -903,7 +912,7 @@ class TopKQueryBessKGE:
                     )
                 neg_emb = take_contiguous_rows(
                     table, start, window_size,
-                    width=self.entity_embedding_size,
+                    n_logical=self.sharding.max_entity_per_shard,
                 )[None]
             else:
                 slide = (
@@ -918,7 +927,7 @@ class TopKQueryBessKGE:
                     )
                 neg_ent_idx = gather_indices(candidate, slide)
                 neg_emb = take_rows(
-                    table, neg_ent_idx, width=self.entity_embedding_size
+                    table, neg_ent_idx, n_logical=self.sharding.max_entity_per_shard
                 )
             if cd is not None:
                 neg_emb = neg_emb.astype(cd)
@@ -1086,7 +1095,7 @@ class AllScoresBESS:
         relation_all = self._all_gather(relation).reshape(-1)
         known = tail if scheme == "h" else head
         known_emb_all = self._all_gather(
-            take_rows(table, known, width=self.entity_embedding_size)
+            take_rows(table, known, n_logical=self.sharding.max_entity_per_shard)
         ).reshape(-1, self.entity_embedding_size)
         cd = self.score_fn.compute_dtype
         if cd is not None:
@@ -1100,12 +1109,20 @@ class AllScoresBESS:
         # identical scores.
         t_flat = table[0] if table.ndim == 3 else table
         packed_tab = pk_is_packed(t_flat)
-        row_cap = 2 * t_flat.shape[0] if packed_tab else t_flat.shape[0]
+        # logical row cap: packed tables back 2 logical rows per physical
+        # row; pair-major interleaved tables (optimizer state interleaved,
+        # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
+        if packed_tab:
+            row_cap = 2 * t_flat.shape[0]
+        elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = t_flat.shape[0] // 2
+        else:
+            row_cap = t_flat.shape[0]
         w = self.window_size
         if w <= row_cap and not (packed_tab and w % 2):
             start = jnp.minimum(step * w, row_cap - w)
             neg_emb = take_contiguous_rows(
-                table, start, w, width=self.entity_embedding_size
+                table, start, w, n_logical=self.sharding.max_entity_per_shard
             )[None]
         else:
             ent_slice = jnp.minimum(
@@ -1113,7 +1130,7 @@ class AllScoresBESS:
                 self.sharding.max_entity_per_shard - 1,
             )
             neg_emb = take_rows(
-                table, ent_slice, width=self.entity_embedding_size
+                table, ent_slice, n_logical=self.sharding.max_entity_per_shard
             )[None]
         if cd is not None:
             neg_emb = neg_emb.astype(cd)

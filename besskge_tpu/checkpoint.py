@@ -106,8 +106,10 @@ def save_checkpoint(
     path = Path(path)
     if interleaved_entity:
         wide = np.asarray(params["entity_embedding"])
-        d = wide.shape[-1] // 2
-        p_half, m_half = wide[..., :d], wide[..., d:]
+        two_n, d = wide.shape[-2], wide.shape[-1]
+        pairs = wide.reshape(*wide.shape[:-2], two_n // 2, 2, d)
+        p_half = np.ascontiguousarray(pairs[..., 0, :])
+        m_half = np.ascontiguousarray(pairs[..., 1, :])
         params = dict(params, entity_embedding=p_half)
         if opt_state is not None and isinstance(opt_state, dict):
             ent = dict(opt_state.get("entity", {}))
@@ -251,10 +253,13 @@ def load_checkpoint(
             opt_state = dict(opt_state, entity=ent)
         if mom is None:
             mom = np.zeros_like(tab)
+        stacked = np.stack(
+            [tab, np.asarray(mom).astype(tab.dtype)], axis=-2
+        )  # (..., N, 2, D) -> pair-major (..., 2N, D)
         params = dict(
             params,
-            entity_embedding=np.concatenate(
-                [tab, np.asarray(mom).astype(tab.dtype)], axis=-1
+            entity_embedding=stacked.reshape(
+                *tab.shape[:-2], 2 * tab.shape[-2], tab.shape[-1]
             ),
         )
 

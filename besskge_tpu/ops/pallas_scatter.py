@@ -36,19 +36,25 @@ _W = 32
 _U = 8
 
 
-def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems):
+def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems, *, h=1):
     del table_ref  # aliased with out_ref; input exists only for the alias.
     n = idx_ref.shape[0]  # guaranteed a multiple of _U by the caller
     three_d = len(out_ref.shape) == 3
 
     def dma(i):
+        # h > 1: one (h, D) slice per index — e.g. the pair-major
+        # interleaved-momentum layout writes [param row | momentum row] as
+        # ONE (2, D) DMA (rows 2i, 2i+1 are contiguous within an (8, 128)
+        # tile for even 2i, which Mosaic accepts; a (1, 2D) wide-row slice
+        # of a (N, 2D) memref is NOT expressible — the row spans two lane
+        # tiles).
         dst = (
-            out_ref.at[0, pl.ds(idx_ref[i], 1)]
+            out_ref.at[0, pl.ds(idx_ref[i], h)]
             if three_d
-            else out_ref.at[pl.ds(idx_ref[i], 1)]
+            else out_ref.at[pl.ds(idx_ref[i], h)]
         )
         return pltpu.make_async_copy(
-            rows_ref.at[pl.ds(i, 1)], dst, sems.at[i % _W]
+            rows_ref.at[pl.ds(h * i, h)], dst, sems.at[i % _W]
         )
 
     if n <= _W:
@@ -190,12 +196,17 @@ def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
     )(*p_idx, *p_rows, *tables)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "slice_rows"),
+    donate_argnums=(0,),
+)
 def scatter_rows(
     table: jnp.ndarray,
     idx: jnp.ndarray,
     rows: jnp.ndarray,
     interpret: bool = False,
+    slice_rows: int = 1,
 ) -> jnp.ndarray:
     """Return ``table`` with ``table[idx[i]] = rows[i]`` — in place on TPU.
 
@@ -205,17 +216,23 @@ def scatter_rows(
     :param idx: (R,) int32 row indices; duplicates allowed if their rows are
         identical.
     :param rows: (R, D) replacement rows (cast to the table dtype).
+    :param slice_rows: rows written per index in ONE DMA — ``h > 1`` writes
+        the ``(h, D)`` block ``table[idx[i] : idx[i]+h] = rows[h·i : h·i+h]``
+        (the pair-major interleaved-momentum layout uses ``h=2`` with even
+        physical indices; ``rows`` is then ``(h·R, D)`` stacked slices).
     """
+    h = slice_rows
     rows = rows.astype(table.dtype)
     pad = (-idx.shape[0]) % _U
     if pad:
-        # Idempotent padding: repeat the last (index, row) pair.
+        # Idempotent padding: repeat the last (index, slice) pair.
         idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
         rows = jnp.concatenate(
-            [rows, jnp.broadcast_to(rows[-1:], (pad, rows.shape[-1]))]
+            [rows]
+            + [rows[-h:]] * pad
         )
     return pl.pallas_call(
-        _scatter_kernel,
+        functools.partial(_scatter_kernel, h=h),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),

@@ -217,6 +217,27 @@ def _apply_rows_multi(writes):
     return tuple(out)
 
 
+def _apply_row_pairs(
+    table: jnp.ndarray, phys: jnp.ndarray, pair_rows: jnp.ndarray
+) -> jnp.ndarray:
+    """Duplicate-safe (2, D) block writes at EVEN physical rows ``phys`` of
+    a pair-major interleaved table (see :func:`interleave_momentum`):
+    one DMA covers a row's param and momentum — the whole point of the
+    layout. ``pair_rows`` is (2R, D) stacked [param; momentum] slices."""
+    if (
+        jax.default_backend() == "tpu"
+        and table.shape[-1] % 128 == 0
+        and table.dtype.itemsize == 4
+    ):
+        from besskge_tpu.ops.pallas_scatter import scatter_rows
+
+        return scatter_rows(table, phys, pair_rows, slice_rows=2)
+    flat_idx = (phys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
+    if table.ndim == 3:
+        return table.at[0, flat_idx].set(pair_rows.astype(table.dtype))
+    return table.at[flat_idx].set(pair_rows.astype(table.dtype))
+
+
 def _read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """fp32 values of the touched logical rows (packed-storage aware)."""
     from besskge_tpu.packed import take_rows
@@ -241,33 +262,38 @@ def _moment_shape(table: jnp.ndarray) -> Tuple[int, int]:
 def interleave_momentum(
     table: jnp.ndarray, momentum: jnp.ndarray | None = None
 ) -> jnp.ndarray:
-    """Widen a plain fp32 ``(N, D)`` table to ``(N, 2D)`` holding
-    ``[params | momentum]`` per row — the storage layout of
-    :class:`RowSGDM` ``interleaved=True``.
+    """Interleave a plain fp32 ``(N, D)`` table with its momentum into one
+    pair-major ``(2N, D)`` buffer — param row ``i`` at physical row ``2i``,
+    momentum at ``2i+1`` — the storage layout of :class:`RowSGDM`
+    ``interleaved=True``.
 
     A touched row's parameter and momentum then live in ONE contiguous
-    HBM row, so the sparse update reads them with one gather and writes
-    them with one scatter DMA instead of two of each — the scatter is
+    1 KB block of the (8, 128)-tiled HBM layout, so the sparse update
+    reads them with one (2, D) gather slice and writes them with one
+    (2, D) scatter DMA instead of two of each — the scatter is
     scalar-core DMA-issue-bound (~23 ns/DMA, BASELINE.md roofline), so
-    halving the issue count is a direct step-time win. Leading unit
-    (device) axes are preserved.
+    halving the issue count is a direct step-time win. (A ``(N, 2D)``
+    wide-row layout does NOT work: a 256-wide fp32 row spans two lane
+    tiles, so Mosaic cannot express the single-row slice the DMA needs.)
+    Leading unit (device) axes are preserved.
     """
     t = _flat(table)
     if is_packed_table(t):
         raise ValueError("interleaved momentum requires a plain fp32 table")
     m = jnp.zeros_like(t) if momentum is None else momentum.astype(t.dtype)
-    wide = jnp.concatenate([t, m], axis=-1)
-    return wide[None] if table.ndim == 3 else wide
+    n, d = t.shape
+    paired = jnp.stack([t, m], axis=1).reshape(2 * n, d)
+    return paired[None] if table.ndim == 3 else paired
 
 
 def split_interleaved(table: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse of :func:`interleave_momentum`: ``(N, 2D) -> ((N, D) params,
+    """Inverse of :func:`interleave_momentum`: ``(2N, D) -> ((N, D) params,
     (N, D) momentum)``. Use at checkpoint-save and before standalone
-    evaluation (eval windows over an interleaved table work — gathers are
-    width-aware — but contiguous window slices read 2x the bytes)."""
+    evaluation (eval over an interleaved table works — gathers are
+    pair-aware — but contiguous window slices read 2x the bytes)."""
     t = _flat(table)
-    d = t.shape[-1] // 2
-    p, m = t[:, :d], t[:, d:]
+    pairs = t.reshape(t.shape[0] // 2, 2, t.shape[-1])
+    p, m = pairs[:, 0], pairs[:, 1]
     if table.ndim == 3:
         return p[None], m[None]
     return p, m
@@ -303,14 +329,20 @@ class EntityRowOptimizer:
 
 def _dedup_row_grads(
     table: jnp.ndarray, idx: jnp.ndarray, grad_rows: jnp.ndarray
-) -> jnp.ndarray:
-    """Summed gradient per occurrence, without any table-sized buffer.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted occurrences with per-row summed gradients, no table-sized
+    buffer: returns ``(sorted_idx, summed_grads)``, both length R.
 
     Sort the R touched-row occurrences by row id, segment-sum with a cumsum
-    difference, and broadcast each segment's total back to every occurrence —
-    so duplicate occurrences all see the SAME total gradient (making the
-    later ``.at[idx].set`` writes idempotent). O(R log R + R·row), R = rows
-    touched per step; the table itself is never traversed.
+    difference, and broadcast each segment's total to every occurrence of
+    that row — duplicate occurrences all see the SAME total gradient, so
+    row writes keyed by ``sorted_idx`` are idempotent. The result stays in
+    SORTED row order on purpose: the optimizer update is order-free (pure
+    per-row math + idempotent writes), sorted gather/scatter addresses are
+    monotone (HBM locality for the row DMAs), and skipping the
+    inverse-permutation restore saves a (R, row) scatter per step (~70 µs
+    at wikikg2 bench shapes). O(R log R + R·row); the table itself is
+    never traversed.
     """
     r = idx.shape[0]
     # One variadic sort yields BOTH the sorted ids and the permutation —
@@ -335,9 +367,7 @@ def _dedup_row_grads(
     totals = jnp.take(cs, seg_end, axis=0) - jnp.where(
         (seg_start > 0)[:, None], jnp.take(cs, seg_start - 1, axis=0), 0.0
     )
-    # Back to the original occurrence order.
-    out = jnp.zeros_like(totals).at[order].set(totals)
-    return out
+    return si, totals
 
 
 @dataclasses.dataclass
@@ -361,7 +391,7 @@ class RowAdamW(EntityRowOptimizer):
         }
 
     def update_rows(self, table, state, idx, grad_rows):
-        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
         count = state["count"] + 1
         mu_rows = self.b1 * jnp.take(_flat(state["mu"]), idx, axis=0) + (1 - self.b1) * g
         nu_rows = self.b2 * jnp.take(_flat(state["nu"]), idx, axis=0) + (
@@ -396,11 +426,12 @@ class RowSGDM(EntityRowOptimizer):
     weight_decay: float = 0.0
     #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
-    #: store the momentum interleaved with the params in one (N, 2D) fp32
-    #: buffer (see :func:`interleave_momentum`): halves the scatter DMA
-    #: count — the sparse step's top cost after the score kernels. The
-    #: caller widens the table (Trainer does it automatically; checkpoint
-    #: save/load de/re-interleaves so the on-disk format is unchanged).
+    #: store the momentum interleaved with the params in one pair-major
+    #: (2N, D) fp32 buffer (see :func:`interleave_momentum`): halves the
+    #: gather/scatter DMA count — the sparse step's top cost after the
+    #: score kernels. The caller widens the table (Trainer does it
+    #: automatically; checkpoint save/load de/re-interleaves so the
+    #: on-disk format is unchanged).
     interleaved: bool = False
 
     def init(self, table):
@@ -412,9 +443,10 @@ class RowSGDM(EntityRowOptimizer):
                 raise ValueError(
                     "interleaved momentum requires a plain fp32 table"
                 )
-            if t.shape[-1] % 2:
+            if t.shape[0] % 2:
                 raise ValueError(
-                    "interleaved table width must be 2x the embedding row"
+                    "interleaved table must be pair-major (2N, D) —"
+                    " widen it with interleave_momentum()"
                 )
             return {"count": jnp.zeros((), jnp.int32)}
         if self.momentum == 0.0:
@@ -425,28 +457,35 @@ class RowSGDM(EntityRowOptimizer):
         }
 
     def _update_rows_interleaved(self, table, state, idx, grad_rows):
-        """One gather reads [param | momentum] rows, one scatter writes
-        both back: the (R, 2D) wide rows are duplicate-consistent because
-        they are pure functions of the deduped gradient and the current
-        row content, so the idempotent-scatter contract holds unchanged."""
-        from besskge_tpu.packed import take_rows
-
-        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        """One (2, D) gather slice reads [param row | momentum row], one
+        (2, D) scatter DMA writes both back: the pairs are
+        duplicate-consistent because they are pure functions of the deduped
+        gradient and the current row content, so the idempotent-scatter
+        contract holds unchanged."""
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
         d = grad_rows.shape[-1]
-        wide = take_rows(_flat(table), idx).astype(jnp.float32)
-        p_rows, m_prev = wide[:, :d], wide[:, d:]
+        t = _flat(table)
+        phys = (2 * idx).astype(jnp.int32)
+        # Read as 2R single-row gathers: XLA lowers a slice_sizes=(2, D)
+        # lax.gather ~8x slower than row gathers (measured on v5e), and 2R
+        # row gathers cost the same as the separate-buffer layout's
+        # param + momentum reads. The pair layout's win is the SCATTER,
+        # where the Pallas kernel issues ONE (2, D) DMA per row.
+        flat_idx = (phys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
+        pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
+        p_rows, m_prev = pairs[:, 0], pairs[:, 1]
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
         m_rows = self.momentum * m_prev + g
         new_p = p_rows - _lr_at(self.learning_rate, state["count"]) * m_rows
-        new_wide = jnp.concatenate([new_p, m_rows], axis=-1)
-        new_table = _apply_rows(table, idx, new_wide)
+        new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
+        new_table = _apply_row_pairs(table, phys, new_pairs)
         return new_table, {"count": state["count"] + 1}
 
     def update_rows(self, table, state, idx, grad_rows):
         if self.interleaved:
             return self._update_rows_interleaved(table, state, idx, grad_rows)
-        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
         p_rows = _read_rows(table, idx)
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
@@ -485,7 +524,7 @@ class RowAdagrad(EntityRowOptimizer):
         }
 
     def update_rows(self, table, state, idx, grad_rows):
-        g = _dedup_row_grads(table, idx, grad_rows).astype(jnp.float32)
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
         acc_rows = jnp.take(_flat(state["acc"]), idx, axis=0) + g * g
         p_rows = _read_rows(table, idx)
         lr = _lr_at(self.learning_rate, state["count"])

@@ -55,6 +55,7 @@ import numpy as np
 
 __all__ = [
     "is_packed",
+    "is_paired",
     "half_dtype",
     "pack_table",
     "unpack_table",
@@ -182,8 +183,24 @@ def unpack_table_host(packed: np.ndarray, n_logical: int) -> np.ndarray:
     return out[:n_logical]
 
 
+def is_paired(table: jnp.ndarray, n_logical: int | None) -> bool:
+    """True when ``table`` is a pair-major fp32 ``(2·n_logical, D)`` buffer
+    holding ``[param row 2i | momentum row 2i+1]`` — the storage layout of
+    :class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``. Detection is
+    by the STATIC row count: entity tables otherwise have exactly
+    ``n_logical`` (plain) or ``ceil(n_logical/2)`` (packed) rows, so
+    ``2·n_logical`` is unambiguous at trace time.
+    """
+    t = _flat(table)
+    return (
+        n_logical is not None
+        and not is_packed(t)
+        and t.shape[0] == 2 * n_logical
+    )
+
+
 def take_rows(
-    table: jnp.ndarray, idx: jnp.ndarray, width: int | None = None
+    table: jnp.ndarray, idx: jnp.ndarray, n_logical: int | None = None
 ) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
     tables and a gather + elementwise plane-select for packed ones.
@@ -193,29 +210,17 @@ def take_rows(
     routes through here so packed storage is transparent to the BESS
     programs.
 
-    ``width`` (optional) is the LOGICAL embedding width: when the stored
-    row is wider — an interleaved-optimizer-state table holds
-    ``[params | momentum]`` in one ``(N, 2D)`` buffer
-    (:class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``) — only the
-    first ``width`` columns are gathered, via an explicit ``lax.gather``
-    with ``slice_sizes=(1, width)`` so the momentum half never leaves HBM
-    (no full-row gather + slice, which would read 2x the bytes).
+    ``n_logical`` (optional) is the logical entity-row count of the shard
+    (``sharding.max_entity_per_shard``); it enables pair-major
+    interleaved-momentum tables (see :func:`is_paired`), whose param row
+    for logical id ``i`` lives at physical row ``2i`` — the momentum rows
+    are simply never addressed, so forward/eval reads cost the same DMAs
+    as a plain table.
     """
     t = _flat(table)
     if not is_packed(t):
-        if width is not None and width != t.shape[-1]:
-            dnums = jax.lax.GatherDimensionNumbers(
-                offset_dims=(idx.ndim,),
-                collapsed_slice_dims=(0,),
-                start_index_map=(0,),
-            )
-            return jax.lax.gather(
-                t,
-                idx[..., None],
-                dnums,
-                slice_sizes=(1, width),
-                mode=jax.lax.GatherScatterMode.CLIP,
-            )
+        if is_paired(t, n_logical):
+            return jnp.take(t, 2 * idx, axis=0)
         return jnp.take(table, idx, axis=0)
     pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
@@ -224,7 +229,8 @@ def take_rows(
 
 
 def take_contiguous_rows(
-    table: jnp.ndarray, start: jnp.ndarray, w: int, width: int | None = None
+    table: jnp.ndarray, start: jnp.ndarray, w: int,
+    n_logical: int | None = None,
 ) -> jnp.ndarray:
     """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
 
@@ -233,15 +239,16 @@ def take_contiguous_rows(
     windows over local entities (TopK / AllScores) should never gather.
     ``start`` must be even for packed tables (callers align window starts);
     out-of-range starts are clamped by ``dynamic_slice`` semantics.
-    ``width`` restricts to the first ``width`` columns (interleaved
-    optimizer-state tables — see :func:`take_rows`).
+    For pair-major interleaved tables (see :func:`is_paired`) the window is
+    one ``(2w, D)`` slice de-interleaved on-core — it reads 2x the bytes,
+    so standalone evaluation should split the table first
+    (:func:`besskge_tpu.optim.split_interleaved`).
     """
     t = _flat(table)
     if not is_packed(t):
-        if width is not None and width != t.shape[-1]:
-            return jax.lax.dynamic_slice(
-                t, (start, jnp.zeros_like(start)), (w, width)
-            )
+        if is_paired(t, n_logical):
+            pair = jax.lax.dynamic_slice_in_dim(t, 2 * start, 2 * w, axis=0)
+            return pair.reshape(w, 2, -1)[:, 0]
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
     pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
     half = half_dtype(t)

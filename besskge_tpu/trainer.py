@@ -114,7 +114,11 @@ def _apply_bn_ema(score_fn, old_params, new_params, batch, momentum=0.1):
         return new_params
     heads = batch["head"][:, 0].reshape(-1)
     rels = batch["relation"][:, 0].reshape(-1)
-    h_emb = take_rows(old_params["entity_embedding"], heads)
+    sh = getattr(score_fn, "sharding", None)
+    h_emb = take_rows(
+        old_params["entity_embedding"], heads,
+        n_logical=sh.max_entity_per_shard if sh is not None else None,
+    )
     refreshed = score_fn.update_bn_stats(
         old_params, h_emb, rels, momentum=momentum, sync=True
     )
@@ -157,7 +161,8 @@ def _sparse_device_train_step(bess, optimizer, entity_optimizer):
         def mb_fn(mb, step_rng):
             idx = bess.gather_plan(mb["head"], mb["tail"], mb["negative"])
             gathered = take_rows(
-                table, idx, width=bess.entity_embedding_size
+                table, idx,
+                n_logical=bess.sharding.max_entity_per_shard,
             )
             srng = step_rng if rng is not None else None
 
@@ -504,9 +509,13 @@ class Trainer:
             from besskge_tpu.optim import interleave_momentum
 
             tab = jnp.asarray(raw["entity_embedding"])
-            if tab.shape[-1] == bess.score_fn.entity_row_size:
-                # widen [params] -> [params | zero momentum]; a resumed
-                # table that is already 2x wide passes through unchanged
+            n_global = (
+                bess.sharding.n_shard * bess.sharding.max_entity_per_shard
+            )
+            if tab.shape[-2] == n_global:
+                # pair-interleave [params] -> [param row | zero momentum
+                # row]; a resumed table that is already (2N, D) pair-major
+                # passes through unchanged
                 raw = dict(raw)
                 raw["entity_embedding"] = interleave_momentum(tab)
         if mesh is not None:
