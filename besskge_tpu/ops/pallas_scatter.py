@@ -36,7 +36,9 @@ _W = 32
 _U = 8
 
 
-def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems, *, h=1):
+def _scatter_kernel(
+    idx_ref, rows_ref, table_ref, out_ref, sems, *, h=1, skip_dups=False
+):
     del table_ref  # aliased with out_ref; input exists only for the alias.
     n = idx_ref.shape[0]  # guaranteed a multiple of _U by the caller
     three_d = len(out_ref.shape) == 3
@@ -57,39 +59,77 @@ def _scatter_kernel(idx_ref, rows_ref, table_ref, out_ref, sems, *, h=1):
             rows_ref.at[pl.ds(h * i, h)], dst, sems.at[i % _W]
         )
 
+    def _pred(i):
+        # skip_dups predicate: slot i is a duplicate of i-1 in the SORTED
+        # index list — its DMA is pure re-write traffic (and its row
+        # content may be garbage under the gather-redirect contract), so
+        # don't issue it. Slot 0 is never a skip. A pure function of the
+        # prefetched scalars, so start and wait recompute it identically.
+        if isinstance(i, int):
+            return None if i == 0 else idx_ref[i] != idx_ref[i - 1]
+        prev = idx_ref[jax.lax.max(i - 1, 0)]
+        return (idx_ref[i] != prev) | (i == 0)
+
+    def start(i):
+        if not skip_dups:
+            dma(i).start()
+            return
+        p = _pred(i)
+        if p is None:
+            dma(i).start()
+        else:
+            @pl.when(p)
+            def _():
+                dma(i).start()
+
+    def wait(i):
+        if not skip_dups:
+            dma(i).wait()
+            return
+        p = _pred(i)
+        if p is None:
+            dma(i).wait()
+        else:
+            @pl.when(p)
+            def _():
+                dma(i).wait()
+
     if n <= _W:
         # Small n: start everything, then wait for everything.
         for i in range(n):
-            dma(i).start()
+            start(i)
         for i in range(n):
-            dma(i).wait()
+            wait(i)
         return
 
     # Issue-loop structure matters: the loop is scalar-core-bound
-    # (~23 ns/DMA), so the steady state carries NO branch — a guarded
-    # wait per DMA (the previous shape) costs an extra predicate each
-    # issue. Fill the window unguarded, run wait+start pairs, drain.
+    # (~23 ns/DMA), so the steady state carries NO branch when
+    # skip_dups=False — a guarded wait per DMA (the previous shape) costs
+    # an extra predicate each issue. Fill the window unguarded, run
+    # wait+start pairs, drain. With skip_dups the predicate pays for
+    # itself whenever >~15% of slots are duplicates (the sparse-update
+    # path runs ~50% at wikikg2 shapes).
     for i in range(_W):  # fill (static unroll)
-        dma(i).start()
+        start(i)
 
     def body(k, _):
         base = _W + k * _U
         for u in range(_U):
-            dma(base + u - _W).wait()
-            dma(base + u).start()
+            wait(base + u - _W)
+            start(base + u)
         return 0
 
     # n and _W are multiples of _U (caller pads; _W % _U == 0).
     jax.lax.fori_loop(0, (n - _W) // _U, body, 0)
 
     def drain(j, _):
-        dma(n - _W + j).wait()
+        wait(n - _W + j)
         return 0
 
     jax.lax.fori_loop(0, _W, drain, 0)
 
 
-def _scatter_kernel_multi(*refs, n_buf: int):
+def _scatter_kernel_multi(*refs, n_buf: int, skip_dups=False):
     # refs = idx_0..idx_{k-1}, rows_0.., table_0.., out_0.., sems
     idxs = refs[:n_buf]
     rows = refs[n_buf : 2 * n_buf]
@@ -108,13 +148,37 @@ def _scatter_kernel_multi(*refs, n_buf: int):
             rows[b].at[pl.ds(i, 1)], dst, sems.at[i % _W, b]
         )
 
+    def _pred(i, b):
+        # Per-buffer sorted-run predicate (see _scatter_kernel._pred); the
+        # buffers' index lists dedup independently (packed param indices
+        # differ from the moments' logical ones).
+        if isinstance(i, int):
+            return None if i == 0 else idxs[b][i] != idxs[b][i - 1]
+        prev = idxs[b][jax.lax.max(i - 1, 0)]
+        return (idxs[b][i] != prev) | (i == 0)
+
+    def _guarded(i, b, go):
+        p = _pred(i, b)
+        if p is None:
+            go()
+        else:
+            @pl.when(p)
+            def _():
+                go()
+
     def start(i):
         for b in range(n_buf):
-            dma(i, b).start()
+            if skip_dups:
+                _guarded(i, b, dma(i, b).start)
+            else:
+                dma(i, b).start()
 
     def wait(i):
         for b in range(n_buf):
-            dma(i, b).wait()
+            if skip_dups:
+                _guarded(i, b, dma(i, b).wait)
+            else:
+                dma(i, b).wait()
 
     if n <= _W:
         for i in range(n):
@@ -143,9 +207,11 @@ def _scatter_kernel_multi(*refs, n_buf: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret",), donate_argnums=(0,)
+    jax.jit, static_argnames=("interpret", "skip_dups"), donate_argnums=(0,)
 )
-def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
+def scatter_rows_multi(
+    tables, idxs, rows, interpret: bool = False, skip_dups: bool = False
+):
     """In-place row writes into SEVERAL tables in ONE issue loop.
 
     The sparse row optimizers write the param rows AND 1-2 fp32 moment-row
@@ -160,6 +226,9 @@ def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
     :param idxs: tuple of (R_b,) int32 row indices, one list per table
         (packed tables use merged packed indices, moments logical ones).
     :param rows: tuple of (R_b, D) replacement rows (cast to table dtype).
+    :param skip_dups: EVERY ``idxs[b]`` is sorted and only the first slot
+        of each equal-index run is written (see :func:`scatter_rows`);
+        later slots' rows may be arbitrary. Buffers dedup independently.
     :return: tuple of updated tables.
     """
     k = len(tables)
@@ -179,7 +248,9 @@ def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
         p_rows.append(r)
     hbm = pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
     return pl.pallas_call(
-        functools.partial(_scatter_kernel_multi, n_buf=k),
+        functools.partial(
+            _scatter_kernel_multi, n_buf=k, skip_dups=skip_dups
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=k,
             grid=(1,),
@@ -198,7 +269,7 @@ def scatter_rows_multi(tables, idxs, rows, interpret: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "slice_rows"),
+    static_argnames=("interpret", "slice_rows", "skip_dups"),
     donate_argnums=(0,),
 )
 def scatter_rows(
@@ -207,6 +278,7 @@ def scatter_rows(
     rows: jnp.ndarray,
     interpret: bool = False,
     slice_rows: int = 1,
+    skip_dups: bool = False,
 ) -> jnp.ndarray:
     """Return ``table`` with ``table[idx[i]] = rows[i]`` — in place on TPU.
 
@@ -220,19 +292,26 @@ def scatter_rows(
         the ``(h, D)`` block ``table[idx[i] : idx[i]+h] = rows[h·i : h·i+h]``
         (the pair-major interleaved-momentum layout uses ``h=2`` with even
         physical indices; ``rows`` is then ``(h·R, D)`` stacked slices).
+    :param skip_dups: ``idx`` is SORTED and only the FIRST slot of each
+        equal-index run is written; later slots of a run are skipped
+        entirely (no DMA issued), so their ``rows`` content may be
+        arbitrary. This is the sorted-dedup sparse-update contract
+        (:func:`besskge_tpu.optim._dedup_row_grads`): at ~50% duplicate
+        slots it halves the scatter's scalar-core issue work.
     """
     h = slice_rows
     rows = rows.astype(table.dtype)
     pad = (-idx.shape[0]) % _U
     if pad:
-        # Idempotent padding: repeat the last (index, slice) pair.
+        # Padding repeats the last (index, slice) pair: idempotent, and
+        # under skip_dups automatically skipped as duplicates.
         idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
         rows = jnp.concatenate(
             [rows]
             + [rows[-h:]] * pad
         )
     return pl.pallas_call(
-        functools.partial(_scatter_kernel, h=h),
+        functools.partial(_scatter_kernel, h=h, skip_dups=skip_dups),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),

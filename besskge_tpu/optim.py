@@ -137,7 +137,10 @@ def _sr_round_16(
 
 
 def _apply_rows(
-    table: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    sorted_dedup: bool = False,
 ) -> jnp.ndarray:
     """Duplicate-safe idempotent row writes; on TPU with 128-aligned rows
     this is the in-place Pallas DMA kernel (no table-sized copy — XLA's
@@ -149,11 +152,20 @@ def _apply_rows(
     are first merged into byte-identical packed-row writes. A PLAIN bf16
     table (non-packed storage) still falls back to the XLA full-copy
     scatter; prefer packed storage for sparse-update-heavy bf16 training.
+
+    ``sorted_dedup=True`` asserts ``idx`` is sorted with duplicate-identical
+    rows (the :func:`_dedup_row_grads` contract): the Pallas kernel then
+    skips duplicate slots' DMAs entirely (~50% of slots at wikikg2 shapes
+    are duplicates — the issue loop is the scatter's bottleneck).
     """
     from besskge_tpu.packed import is_packed, merge_packed_row_writes
 
     if is_packed(_flat(table)):
+        # merge returns SORTED packed indices with full segment-merged
+        # content at every slot, so the sorted-dedup contract holds for
+        # the packed writes regardless of the input's.
         idx, rows = merge_packed_row_writes(table, idx, rows)
+        sorted_dedup = True
     else:
         rows = rows.astype(table.dtype)
     if (
@@ -163,45 +175,51 @@ def _apply_rows(
     ):
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
-        return scatter_rows(table, idx, rows)
+        return scatter_rows(table, idx, rows, skip_dups=sorted_dedup)
     if table.ndim == 3:
         return table.at[0, idx].set(rows)
     return table.at[idx].set(rows)
 
 
-def _apply_rows_multi(writes):
+def _apply_rows_multi(writes, sorted_dedup: bool = False):
     """Apply several (table, idx, rows) row-writes, fused into ONE Pallas
     scatter when possible (one scalar-core issue loop for all buffers —
     the loop, not the DMA engine, is the scatter bottleneck; see
     :mod:`besskge_tpu.ops.pallas_scatter`). Falls back to per-buffer
     :func:`_apply_rows` otherwise. ``writes`` is a list of
-    ``(table, idx, rows)``; returns the updated tables in order."""
+    ``(table, idx, rows)``; returns the updated tables in order.
+    ``sorted_dedup``: every ``idx`` is sorted with duplicate-identical rows
+    (see :func:`_apply_rows`); duplicate slots' DMAs are skipped."""
     from besskge_tpu.packed import is_packed, merge_packed_row_writes
 
     resolved = []
     for table, idx, rows in writes:
         if is_packed(_flat(table)):
+            # merged packed indices are sorted + duplicate-identical
             idx, rows = merge_packed_row_writes(table, idx, rows)
+            resolved.append((table, idx, rows, True))
         else:
             rows = rows.astype(table.dtype)
-        resolved.append((table, idx, rows))
+            resolved.append((table, idx, rows, sorted_dedup))
+    all_sorted = all(s for _, _, _, s in resolved)
     if (
         len(resolved) > 1
         and jax.default_backend() == "tpu"
         and all(
             t.shape[-1] % 128 == 0 and t.dtype.itemsize == 4
-            for t, _, _ in resolved
+            for t, _, _, _ in resolved
         )
     ):
         from besskge_tpu.ops.pallas_scatter import scatter_rows_multi
 
         return scatter_rows_multi(
-            tuple(t for t, _, _ in resolved),
-            tuple(i for _, i, _ in resolved),
-            tuple(r for _, _, r in resolved),
+            tuple(t for t, _, _, _ in resolved),
+            tuple(i for _, i, _, _ in resolved),
+            tuple(r for _, _, r, _ in resolved),
+            skip_dups=all_sorted,
         )
     out = []
-    for table, idx, rows in resolved:
+    for table, idx, rows, srt in resolved:
         if (
             jax.default_backend() == "tpu"
             and table.shape[-1] % 128 == 0
@@ -209,7 +227,7 @@ def _apply_rows_multi(writes):
         ):
             from besskge_tpu.ops.pallas_scatter import scatter_rows
 
-            out.append(scatter_rows(table, idx, rows))
+            out.append(scatter_rows(table, idx, rows, skip_dups=srt))
         elif table.ndim == 3:
             out.append(table.at[0, idx].set(rows))
         else:
@@ -218,12 +236,18 @@ def _apply_rows_multi(writes):
 
 
 def _apply_row_pairs(
-    table: jnp.ndarray, phys: jnp.ndarray, pair_rows: jnp.ndarray
+    table: jnp.ndarray,
+    phys: jnp.ndarray,
+    pair_rows: jnp.ndarray,
+    sorted_dedup: bool = False,
 ) -> jnp.ndarray:
     """Duplicate-safe (2, D) block writes at EVEN physical rows ``phys`` of
     a pair-major interleaved table (see :func:`interleave_momentum`):
     one DMA covers a row's param and momentum — the whole point of the
-    layout. ``pair_rows`` is (2R, D) stacked [param; momentum] slices."""
+    layout. ``pair_rows`` is (2R, D) stacked [param; momentum] slices.
+    ``sorted_dedup``: ``phys`` is sorted; duplicate slots are never written
+    (their pair content may be arbitrary — the gather-redirect contract of
+    :meth:`RowSGDM._update_rows_interleaved`)."""
     if (
         jax.default_backend() == "tpu"
         and table.shape[-1] % 128 == 0
@@ -231,7 +255,9 @@ def _apply_row_pairs(
     ):
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
-        return scatter_rows(table, phys, pair_rows, slice_rows=2)
+        return scatter_rows(
+            table, phys, pair_rows, slice_rows=2, skip_dups=sorted_dedup
+        )
     flat_idx = (phys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
     if table.ndim == 3:
         return table.at[0, flat_idx].set(pair_rows.astype(table.dtype))
@@ -411,7 +437,7 @@ class RowAdamW(EntityRowOptimizer):
             (table, idx, new_rows),
             (state["mu"], idx, mu_rows),
             (state["nu"], idx, nu_rows),
-        ])
+        ], sorted_dedup=True)
         return new_table, {"mu": new_mu, "nu": new_nu, "count": count}
 
 
@@ -466,12 +492,30 @@ class RowSGDM(EntityRowOptimizer):
         d = grad_rows.shape[-1]
         t = _flat(table)
         phys = (2 * idx).astype(jnp.int32)
+        gphys = phys
+        # The redirect is only safe when the skip-dups Pallas scatter will
+        # actually run (same condition as _apply_row_pairs' kernel path):
+        # the XLA fallback writes EVERY slot, so dup pairs must stay real.
+        on_tpu = (
+            jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
+        )
+        if on_tpu:
+            # Duplicate-gather redirect: ~50% of the sorted slots at BESS
+            # batch shapes repeat the previous row. Their pair content is
+            # never written back (skip_dups scatter below), so read rows
+            # 0/1 instead — consecutive duplicate addresses keep the
+            # gather's DMA stream on one hot line instead of re-fetching
+            # the same scattered 1 KB block R/2 times.
+            is_dup = jnp.concatenate(
+                [jnp.zeros((1,), bool), idx[1:] == idx[:-1]]
+            )
+            gphys = jnp.where(is_dup, 0, phys)
         # Read as 2R single-row gathers: XLA lowers a slice_sizes=(2, D)
         # lax.gather ~8x slower than row gathers (measured on v5e), and 2R
         # row gathers cost the same as the separate-buffer layout's
         # param + momentum reads. The pair layout's win is the SCATTER,
         # where the Pallas kernel issues ONE (2, D) DMA per row.
-        flat_idx = (phys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
+        flat_idx = (gphys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
         pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
         p_rows, m_prev = pairs[:, 0], pairs[:, 1]
         if self.weight_decay:
@@ -479,7 +523,7 @@ class RowSGDM(EntityRowOptimizer):
         m_rows = self.momentum * m_prev + g
         new_p = p_rows - _lr_at(self.learning_rate, state["count"]) * m_rows
         new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
-        new_table = _apply_row_pairs(table, phys, new_pairs)
+        new_table = _apply_row_pairs(table, phys, new_pairs, sorted_dedup=on_tpu)
         return new_table, {"count": state["count"] + 1}
 
     def update_rows(self, table, state, idx, grad_rows):
@@ -499,11 +543,11 @@ class RowSGDM(EntityRowOptimizer):
         if self.stochastic_rounding and _is_16bit_table(table):
             new_rows = _sr_round_16(new_rows, idx, new_state["count"], table)
         if m_rows is None:
-            return _apply_rows(table, idx, new_rows), new_state
+            return _apply_rows(table, idx, new_rows, sorted_dedup=True), new_state
         new_table, new_state["m"] = _apply_rows_multi([
             (table, idx, new_rows),
             (state["m"], idx, m_rows),
-        ])
+        ], sorted_dedup=True)
         return new_table, new_state
 
 
@@ -536,7 +580,7 @@ class RowAdagrad(EntityRowOptimizer):
         new_table, new_acc = _apply_rows_multi([
             (table, idx, new_rows),
             (state["acc"], idx, acc_rows),
-        ])
+        ], sorted_dedup=True)
         return new_table, {"acc": new_acc, "count": state["count"] + 1}
 
 

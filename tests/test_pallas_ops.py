@@ -325,6 +325,70 @@ def test_scatter_rows_many_rows_pipeline_depth():
     np.testing.assert_array_equal(got, _scatter_expected(table, idx, rows))
 
 
+def test_scatter_rows_skip_dups_garbage_dup_slots():
+    # skip_dups contract: idx SORTED, only the first slot of each run is
+    # written — later slots' rows may be arbitrary garbage.
+    rng = np.random.default_rng(8)
+    table = rng.normal(size=(64, 128)).astype(np.float32)
+    idx = np.array([1, 1, 1, 5, 9, 9, 30, 30, 30, 30, 41, 63], np.int32)
+    rows = np.full((12, 128), np.nan, dtype=np.float32)  # garbage everywhere
+    expected = table.copy()
+    first = {}
+    for k, i in enumerate(idx):
+        if int(i) not in first:
+            rows[k] = rng.normal(size=128)
+            expected[i] = rows[k]
+            first[int(i)] = k
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(idx), jnp.asarray(rows),
+                     interpret=True, skip_dups=True)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_scatter_rows_skip_dups_pairs_and_padding():
+    # slice_rows=2 (pair-major interleaved layout) + a non-multiple-of-_U
+    # length, whose padding repeats the last pair and must be skipped.
+    rng = np.random.default_rng(9)
+    table = rng.normal(size=(64, 128)).astype(np.float32)
+    phys = np.array([2, 2, 10, 10, 10, 40, 62], np.int32)  # even, sorted
+    pair_rows = np.full((14, 128), np.inf, dtype=np.float32)
+    expected = table.copy()
+    seen = set()
+    for k, i in enumerate(phys):
+        if int(i) not in seen:
+            pair_rows[2 * k : 2 * k + 2] = rng.normal(size=(2, 128))
+            expected[i : i + 2] = pair_rows[2 * k : 2 * k + 2]
+            seen.add(int(i))
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(phys),
+                     jnp.asarray(pair_rows), interpret=True, slice_rows=2,
+                     skip_dups=True)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_scatter_rows_skip_dups_long_pipeline():
+    # Longer than the DMA window: duplicates inside the steady-state loop
+    # (traced predicate) and across the fill/drain boundaries.
+    rng = np.random.default_rng(10)
+    table = rng.normal(size=(256, 128)).astype(np.float32)
+    base = np.sort(rng.integers(0, 256, size=96)).astype(np.int32)
+    rows = np.full((96, 128), -np.inf, dtype=np.float32)
+    expected = table.copy()
+    seen = set()
+    for k, i in enumerate(base):
+        if int(i) not in seen:
+            rows[k] = rng.normal(size=128)
+            expected[i] = rows[k]
+            seen.add(int(i))
+    got = np.asarray(
+        scatter_rows(jnp.asarray(table), jnp.asarray(base), jnp.asarray(rows),
+                     interpret=True, skip_dups=True)
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
 # ---------------------------------------------------------------------------
 # dense_adamw_update (fused in-place AdamW, ops/pallas_adamw.py)
 # ---------------------------------------------------------------------------
@@ -564,3 +628,32 @@ def test_scatter_rows_multi_packed_plus_moment():
     np.testing.assert_array_equal(
         np.asarray(o_mom), _scatter_expected(mom, logical, m_rows)
     )
+
+
+def test_scatter_rows_multi_skip_dups_independent_runs():
+    # Buffers dedup independently: buffer 0's runs differ from buffer 1's.
+    # Dup slots carry garbage per the skip_dups contract.
+    rng = np.random.default_rng(11)
+    t0 = rng.normal(size=(64, 128)).astype(np.float32)
+    t1 = rng.normal(size=(64, 128)).astype(np.float32)
+    i0 = np.array([2, 2, 7, 7, 7, 8, 50, 50, 51], np.int32)
+    i1 = np.array([0, 1, 1, 1, 1, 9, 9, 60, 60], np.int32)
+    r0 = np.full((9, 128), np.nan, dtype=np.float32)
+    r1 = np.full((9, 128), np.nan, dtype=np.float32)
+    e0, e1 = t0.copy(), t1.copy()
+    for idx, rows, exp in ((i0, r0, e0), (i1, r1, e1)):
+        seen = set()
+        for k, i in enumerate(idx):
+            if int(i) not in seen:
+                rows[k] = rng.normal(size=128)
+                exp[i] = rows[k]
+                seen.add(int(i))
+    o0, o1 = scatter_rows_multi(
+        (jnp.asarray(t0), jnp.asarray(t1)),
+        (jnp.asarray(i0), jnp.asarray(i1)),
+        (jnp.asarray(r0), jnp.asarray(r1)),
+        interpret=True,
+        skip_dups=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), e0)
+    np.testing.assert_array_equal(np.asarray(o1), e1)
