@@ -33,6 +33,7 @@ real-TPU numerics self-test of the in-place Pallas kernels runs first
 """
 
 import json
+import os
 import sys
 import time
 
@@ -398,6 +399,36 @@ def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
     return line
 
 
+def run_overlap() -> dict:
+    """AOT overlap evidence (VERDICT r3 #5): compile the n_shard=8 train
+    step for a real v5e 2x4 topology and count the compute instructions the
+    scheduler placed inside each async all-to-all's start/done window. Runs
+    as a subprocess because ``LIBTPU_INIT_ARGS`` (async all-to-all) must be
+    set before libtpu loads — this process's backend is already up."""
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, "-u", "benchmarks/overlap_aot.py"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = None
+    for ln in res.stdout.splitlines():
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = json.loads(ln)
+    if line is None:
+        line = {
+            "metric": "bess_collective_overlap",
+            "value": 0,
+            "unit": "overlapped_async_collectives",
+            "vs_baseline": 0.0,
+            "blocked": (res.stderr or res.stdout)[-300:],
+        }
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def run_census() -> dict:
     """Compile-time collective census of the n_shard=8 train step on an
     8-device CPU mesh (the strongest multi-chip readiness proof available
@@ -481,6 +512,8 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
         return run_topk()
     if name == "census":
         return run_census()
+    if name == "overlap":
+        return run_overlap()
     setup = {
         "biokg": _setup_biokg,
         "wikikg2": _setup_wikikg2,
@@ -588,7 +621,6 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
 
 
 def main() -> None:
-    import os
 
     # 8 virtual CPU devices for the multichip collective census (does not
     # affect the TPU backend the throughput configs run on).
@@ -602,7 +634,7 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _tpu_kernel_selftest()
     names = sys.argv[1:] or [
-        "census", "biokg", "wikikg2", "wikikg2_bf16", "wikikg2_fp16",
+        "census", "overlap", "biokg", "wikikg2", "wikikg2_bf16", "wikikg2_fp16",
         "topk_yago",
     ]
     for name in names:
