@@ -399,6 +399,174 @@ def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
     return line
 
 
+def run_valid(n_valid: int = 20_480, repeats: int = 3) -> dict:
+    """ScoreMoving candidate-set validation at the reference's wikikg2
+    shape (round-3 VERDICT #6a): 500 candidate tails per triple,
+    TripleBased negatives, corruption "t", shard_bs 256 x 10 — notebook 3
+    cells 29-32 verbatim. Reference: 429,456 queries in 1.065 s on 4 IPUs
+    = 100.8K queries/s/chip. Runs through the blocked device-eval driver
+    (one transfer + one dispatch per 16 steps)."""
+    import jax.numpy as jnp
+
+    from besskge_tpu.batch_sampler import RigidShardedBatchSampler
+    from besskge_tpu.bess import ScoreMovingBessKGE
+    from besskge_tpu.eval_loop import run_device_eval
+    from besskge_tpu.metric import Evaluation
+    from besskge_tpu.negative_sampler import (
+        TripleBasedShardedNegativeSampler,
+    )
+    from besskge_tpu.scoring import TransE
+    from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+
+    rng = np.random.default_rng(0)
+    n_entity = 2_500_604
+    ds = _make_dataset(n_entity, 535, 1000)
+    ds.triples["valid"] = np.stack(
+        [
+            rng.integers(n_entity, size=n_valid),
+            rng.integers(535, size=n_valid),
+            rng.integers(n_entity, size=n_valid),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    ds.original_triple_ids["valid"] = np.arange(n_valid)
+    ds.neg_tails = {
+        "valid": rng.integers(
+            n_entity, size=(n_valid, 500), dtype=np.int64
+        ).astype(np.int32)
+    }
+
+    sharding = Sharding.create(n_entity, 1, seed=0)
+    pts = PartitionedTripleSet.create_from_dataset(
+        ds, "valid", sharding, partition_mode="ht_shardpair"
+    )
+    ns = TripleBasedShardedNegativeSampler(
+        None, pts.neg_tails, sharding, corruption_scheme="t", seed=0
+    )
+    bs = RigidShardedBatchSampler(
+        pts, ns, shard_bs=256, batches_per_step=10, seed=0,
+        duplicate_batch=False,
+    )
+    score_fn = TransE(
+        negative_sample_sharing=False, scoring_norm=1, sharding=sharding,
+        n_relation_type=535, embedding_size=128, seed=0,
+    )
+    score_fn.compute_dtype = jnp.bfloat16
+    bess = ScoreMovingBessKGE(
+        negative_sampler=ns, score_fn=score_fn,
+        evaluation=Evaluation(["mrr", "hits@10"], reduction="sum"),
+        axis_name=None,
+    )
+    params = score_fn.initial_params_device()
+
+    times = []
+    metrics = n_queries = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        metrics, n_queries = run_device_eval(
+            bess, params, bs, mesh=None, steps_per_block=16
+        )
+        times.append(time.perf_counter() - t0)
+    assert all(np.isfinite(v) for v in metrics.values()), metrics
+    med = float(np.median(times))
+    baseline = 429_456 / 1.06543 / 4  # reference per-chip rate (cell 32)
+    line = {
+        "metric": "wikikg2_scoremoving_valid500_queries_per_s_per_chip",
+        "value": round(n_queries / med, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(n_queries / med / baseline, 3),
+        "stat": "median_of_repeats",
+        "repeats": repeats,
+        "spread_queries_per_s": [
+            round(n_queries / max(times), 1), round(n_queries / min(times), 1)
+        ],
+        "n_queries": int(n_queries),
+        "candidates_per_query": 500,
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
+def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
+    """AllScoresPipeline full sweep (round-3 VERDICT #6b): score (h, r, ?)
+    queries against ALL entities window-by-window, stitch + rank on host —
+    the reference ``besskge/pipeline.py:183-320`` architecture. End-to-end
+    including the host stitch and (tunnel-bound here) score fetch; the
+    reference proxy baseline is its vs-all sweep, 429k x 2.5M in 47.12 s
+    on 4 IPUs = 5.69G candidate-scores/s/chip."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from besskge_tpu.batch_sampler import RigidShardedBatchSampler
+    from besskge_tpu.metric import Evaluation
+    from besskge_tpu.negative_sampler import PlaceholderNegativeSampler
+    from besskge_tpu.pipeline import AllScoresPipeline
+    from besskge_tpu.scoring import TransE
+    from besskge_tpu.sharding import PartitionedTripleSet, Sharding
+
+    rng = np.random.default_rng(0)
+    n_entity = 500_000
+    ds = _make_dataset(n_entity, 535, 1000)
+    sharding = Sharding.create(n_entity, 1, seed=0)
+    queries = np.stack(
+        [
+            rng.integers(n_entity, size=n_queries),
+            rng.integers(535, size=n_queries),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    truth = rng.integers(n_entity, size=n_queries).astype(np.int32)
+    pts = PartitionedTripleSet.create_from_queries(
+        ds, sharding, queries, "hr", ground_truth=truth
+    )
+    pns = PlaceholderNegativeSampler(corruption_scheme="t", seed=0)
+    bs = RigidShardedBatchSampler(
+        pts, pns, shard_bs=256, batches_per_step=4, seed=0,
+        return_triple_idx=True,
+    )
+    score_fn = TransE(
+        negative_sample_sharing=True, scoring_norm=1, sharding=sharding,
+        n_relation_type=535, embedding_size=128, seed=0,
+    )
+    score_fn.compute_dtype = jnp.bfloat16
+    pipe = AllScoresPipeline(
+        bs, "t", score_fn, mesh=None,
+        evaluation=Evaluation(["mrr", "hits@10"], reduction="sum"),
+        window_size=65_536,
+    )
+    params = score_fn.initial_params_device()
+
+    times = []
+    out = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = pipe.forward(params)
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(out["metrics_avg"]["mrr"]), out["metrics_avg"]
+    med = float(np.median(times))
+    scores_per_s = n_queries * n_entity / med
+    baseline = 429_456 * 2_500_604 / 47.12475 / 4  # vs-all proxy, per chip
+    line = {
+        "metric": "allscores_pipeline_candidate_scores_per_s_per_chip",
+        "value": round(scores_per_s, 1),
+        "unit": "scores/s",
+        "vs_baseline": round(scores_per_s / baseline, 3),
+        "stat": "median_of_repeats",
+        "repeats": repeats,
+        "spread_scores_per_s": [
+            round(n_queries * n_entity / max(times), 1),
+            round(n_queries * n_entity / min(times), 1),
+        ],
+        "n_queries": n_queries,
+        "n_entity": n_entity,
+        "window_size": 65_536,
+        "host_stitch_d2h_gb": round(
+            n_queries * n_entity * 4 / 1e9, 2
+        ),
+    }
+    print(json.dumps(line), flush=True)
+    return line
+
+
 def run_overlap() -> dict:
     """AOT overlap evidence (VERDICT r3 #5): compile the n_shard=8 train
     step for a real v5e 2x4 topology and count the compute instructions the
@@ -514,6 +682,10 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
         return run_census()
     if name == "overlap":
         return run_overlap()
+    if name == "valid":
+        return run_valid()
+    if name == "allscores":
+        return run_allscores()
     setup = {
         "biokg": _setup_biokg,
         "wikikg2": _setup_wikikg2,
@@ -635,6 +807,7 @@ def main() -> None:
     _tpu_kernel_selftest()
     names = sys.argv[1:] or [
         "census", "overlap", "biokg", "wikikg2", "wikikg2_bf16", "wikikg2_fp16",
+        "valid", "allscores",
         "topk_yago",
     ]
     for name in names:
