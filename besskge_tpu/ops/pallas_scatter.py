@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["scatter_rows", "scatter_rows_multi"]
+__all__ = ["scatter_rows", "scatter_rows_multi", "gather_rows"]
 
 #: DMA pipeline depth (row copies in flight). Measured on v5e: the loop is
 #: ISSUE-bound (~23 ns/DMA of scalar-core work), so depth beyond 32 buys
@@ -204,6 +204,156 @@ def _scatter_kernel_multi(*refs, n_buf: int, skip_dups=False):
         return 0
 
     jax.lax.fori_loop(0, _W, drain, 0)
+
+
+#: Read-DMA pipeline depth. Reads are NOT posted like writes: each row DMA
+#: carries the full HBM round-trip latency, so the in-flight byte count
+#: (depth × slice bytes) must cover the bandwidth-latency product
+#: (~400 KB at 819 GB/s) — far deeper than the write kernel's _W=32. The
+#: depth is achieved with the SAME 32 physical semaphores: slot
+#: ``(i // group) % _W`` is shared by ``group`` consecutive DMAs (DMA
+#: semaphores count completions, so k copies on one slot need k waits,
+#: order-free) — a (256,) semaphore array would explode Mosaic compile.
+_W_READ = 256
+
+
+def _gather_kernel(
+    idx_ref, table_ref, out_ref, sems, *, h=1, skip_dups=False, w=_W_READ
+):
+    n = idx_ref.shape[0]
+    three_d = len(table_ref.shape) == 3
+    group = max(1, w // _W)
+
+    def dma(i):
+        src = (
+            table_ref.at[0, pl.ds(idx_ref[i], h)]
+            if three_d
+            else table_ref.at[pl.ds(idx_ref[i], h)]
+        )
+        return pltpu.make_async_copy(
+            src, out_ref.at[pl.ds(h * i, h)], sems.at[(i // group) % _W]
+        )
+
+    def _pred(i):
+        # Sorted-run predicate, mirror of _scatter_kernel._pred: a duplicate
+        # slot's output rows are left UNWRITTEN (arbitrary memory) — the
+        # consumer must not read them (the sorted-dedup optimizer contract:
+        # duplicate slots' updates are never applied).
+        if isinstance(i, int):
+            return None if i == 0 else idx_ref[i] != idx_ref[i - 1]
+        prev = idx_ref[jax.lax.max(i - 1, 0)]
+        return (idx_ref[i] != prev) | (i == 0)
+
+    def start(i):
+        if not skip_dups:
+            dma(i).start()
+            return
+        p = _pred(i)
+        if p is None:
+            dma(i).start()
+        else:
+            @pl.when(p)
+            def _():
+                dma(i).start()
+
+    def wait(i):
+        if not skip_dups:
+            dma(i).wait()
+            return
+        p = _pred(i)
+        if p is None:
+            dma(i).wait()
+        else:
+            @pl.when(p)
+            def _():
+                dma(i).wait()
+
+    if n <= w:
+        for i in range(n):
+            start(i)
+        for i in range(n):
+            wait(i)
+        return
+
+    def fill(i, _):
+        start(i)
+        return 0
+
+    jax.lax.fori_loop(0, w, fill, 0)
+
+    def body(k, _):
+        base = w + k * _U
+        for u in range(_U):
+            wait(base + u - w)
+            start(base + u)
+        return 0
+
+    jax.lax.fori_loop(0, (n - w) // _U, body, 0)
+
+    def drain(j, _):
+        wait(n - w + j)
+        return 0
+
+    jax.lax.fori_loop(0, w, drain, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "slice_rows", "skip_dups", "window")
+)
+def gather_rows(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    interpret: bool = False,
+    slice_rows: int = 1,
+    skip_dups: bool = False,
+    window: int = _W_READ,
+) -> jnp.ndarray:
+    """Row gather ``out[h·i : h·i+h] = table[idx[i] : idx[i]+h]`` as a
+    pipelined stream of HBM→HBM row DMAs — the read twin of
+    :func:`scatter_rows`.
+
+    XLA lowers a row ``lax.gather`` from a large table to a serial
+    scalar-core loop (~16 ns/row) PLUS layout glue; at the sparse-update
+    shapes (17K rows of 512 B) the DMA stream is ~5x faster, and with
+    ``skip_dups`` duplicate slots cost nothing at all.
+
+    :param table: (n_rows, D) table or its (1, n_rows, D) per-device block.
+    :param idx: (R,) int32 row indices (base row of each ``h``-slice).
+    :param slice_rows: rows per index — ``h=2`` with even indices reads the
+        pair-major interleaved [param | momentum] block in ONE DMA.
+    :param skip_dups: ``idx`` is SORTED; only the first slot of each
+        equal-index run is fetched. Duplicate slots of the (h·R, D) output
+        are left with arbitrary contents — callers must consume only
+        first-of-run slots (the sorted-dedup optimizer contract).
+    :return: (h·R, D) rows, in the table dtype.
+    """
+    h = slice_rows
+    r = idx.shape[0]
+    pad_n = r + ((-r) % _U)
+    # Window must be a multiple of _U and strictly less than the padded
+    # length for the fill/steady/drain pipeline; short inputs take the
+    # fully-unrolled start-all/wait-all path instead (w = n).
+    w = pad_n if pad_n <= 64 else min(window, pad_n - _U)
+    pad = (-r) % _U
+    if pad:
+        # Padding repeats the last index; under skip_dups the repeats are
+        # skipped outright. The pad rows are sliced off below.
+        idx = jnp.concatenate([idx, jnp.broadcast_to(idx[-1:], (pad,))])
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, h=h, skip_dups=skip_dups, w=w),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_W,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (h * (r + pad), table.shape[-1]), table.dtype
+        ),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), table)
+    return out[: h * r] if pad else out
 
 
 @functools.partial(

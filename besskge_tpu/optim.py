@@ -492,31 +492,26 @@ class RowSGDM(EntityRowOptimizer):
         d = grad_rows.shape[-1]
         t = _flat(table)
         phys = (2 * idx).astype(jnp.int32)
-        gphys = phys
-        # The redirect is only safe when the skip-dups Pallas scatter will
-        # actually run (same condition as _apply_row_pairs' kernel path):
-        # the XLA fallback writes EVERY slot, so dup pairs must stay real.
+        # Skip-dups is only safe when the Pallas kernels will actually run
+        # (same condition as _apply_row_pairs' kernel path): the XLA
+        # fallbacks read/write EVERY slot, so dup pairs must stay real.
         on_tpu = (
             jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
         )
         if on_tpu:
-            # Duplicate-gather redirect: ~50% of the sorted slots at BESS
-            # batch shapes repeat the previous row. Their pair content is
-            # never written back (skip_dups scatter below), so read rows
-            # 0/1 instead — consecutive duplicate addresses keep the
-            # gather's DMA stream on one hot line instead of re-fetching
-            # the same scattered 1 KB block R/2 times.
-            is_dup = jnp.concatenate(
-                [jnp.zeros((1,), bool), idx[1:] == idx[:-1]]
-            )
-            gphys = jnp.where(is_dup, 0, phys)
-        # Read as 2R single-row gathers: XLA lowers a slice_sizes=(2, D)
-        # lax.gather ~8x slower than row gathers (measured on v5e), and 2R
-        # row gathers cost the same as the separate-buffer layout's
-        # param + momentum reads. The pair layout's win is the SCATTER,
-        # where the Pallas kernel issues ONE (2, D) DMA per row.
-        flat_idx = (gphys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
-        pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
+            # One (2, D) DMA per UNIQUE row reads [param | momentum]
+            # together; duplicate slots (~50% at BESS batch shapes) are
+            # skipped outright and their pair content stays arbitrary —
+            # legal because their writes are skipped identically below.
+            from besskge_tpu.ops.pallas_scatter import gather_rows
+
+            pairs = gather_rows(t, phys, slice_rows=2, skip_dups=True)
+            pairs = pairs.reshape(-1, 2, d)
+        else:
+            flat_idx = (
+                phys[:, None] + jnp.arange(2, dtype=phys.dtype)
+            ).reshape(-1)
+            pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
         p_rows, m_prev = pairs[:, 0], pairs[:, 1]
         if self.weight_decay:
             g = g + self.weight_decay * p_rows

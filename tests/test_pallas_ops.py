@@ -657,3 +657,42 @@ def test_scatter_rows_multi_skip_dups_independent_runs():
     )
     np.testing.assert_array_equal(np.asarray(o0), e0)
     np.testing.assert_array_equal(np.asarray(o1), e1)
+
+
+# ---------------------------------------------------------------------------
+# gather_rows (pipelined row reads, ops/pallas_scatter.py)
+# ---------------------------------------------------------------------------
+
+from besskge_tpu.ops.pallas_scatter import gather_rows  # noqa: E402
+
+
+def test_gather_rows_basic_and_padding():
+    rng = np.random.default_rng(12)
+    table = rng.normal(size=(64, 128)).astype(np.float32)
+    idx = np.array([3, 17, 0, 63, 40], np.int32)  # R=5: exercises _U padding
+    got = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(idx),
+                                 interpret=True))
+    np.testing.assert_array_equal(got, table[idx])
+
+
+def test_gather_rows_pairs_3d():
+    rng = np.random.default_rng(13)
+    table = rng.normal(size=(1, 64, 128)).astype(np.float32)
+    phys = np.array([0, 10, 10, 62], np.int32)
+    got = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(phys),
+                                 interpret=True, slice_rows=2))
+    want = table[0][(phys[:, None] + np.arange(2)).ravel()]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_rows_skip_dups_first_of_run_only():
+    rng = np.random.default_rng(14)
+    table = rng.normal(size=(256, 128)).astype(np.float32)
+    idx = np.sort(rng.integers(0, 128, size=96)).astype(np.int32) * 2
+    got = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(idx),
+                                 interpret=True, slice_rows=2,
+                                 skip_dups=True))
+    first = np.concatenate([[True], idx[1:] != idx[:-1]])
+    sel = np.repeat(first, 2)
+    want = table[(idx[:, None] + np.arange(2)).ravel()]
+    np.testing.assert_array_equal(got[sel], want[sel])
