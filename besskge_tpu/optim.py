@@ -492,33 +492,38 @@ class RowSGDM(EntityRowOptimizer):
         d = grad_rows.shape[-1]
         t = _flat(table)
         phys = (2 * idx).astype(jnp.int32)
-        # Skip-dups is only safe when the Pallas kernels will actually run
-        # (same condition as _apply_row_pairs' kernel path): the XLA
-        # fallbacks read/write EVERY slot, so dup pairs must stay real.
+        lr = _lr_at(self.learning_rate, state["count"])
+        # Fused path is only safe when the Pallas kernel will actually run:
+        # the XLA fallback reads/writes EVERY slot, so dup pairs must stay
+        # real there.
         on_tpu = (
             jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
         )
         if on_tpu:
-            # One (2, D) DMA per UNIQUE row reads [param | momentum]
-            # together; duplicate slots (~50% at BESS batch shapes) are
-            # skipped outright and their pair content stays arbitrary —
-            # legal because their writes are skipped identically below.
-            from besskge_tpu.ops.pallas_scatter import gather_rows
+            # One kernel streams each UNIQUE [param | momentum] (2, D)
+            # block HBM->VMEM, applies the momentum update on the VPU, and
+            # streams it back — the (2R, D) gathered intermediate never
+            # exists in HBM and duplicate slots (~50% at BESS batch
+            # shapes) are skipped outright.
+            from besskge_tpu.ops.pallas_row_sgdm import fused_pair_sgdm
 
-            pairs = gather_rows(t, phys, slice_rows=2, skip_dups=True)
-            pairs = pairs.reshape(-1, 2, d)
-        else:
-            flat_idx = (
-                phys[:, None] + jnp.arange(2, dtype=phys.dtype)
-            ).reshape(-1)
-            pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
+            new_table = fused_pair_sgdm(
+                table, phys, g, lr,
+                momentum=self.momentum, weight_decay=self.weight_decay,
+                skip_dups=True,
+            )
+            return new_table, {"count": state["count"] + 1}
+        flat_idx = (
+            phys[:, None] + jnp.arange(2, dtype=phys.dtype)
+        ).reshape(-1)
+        pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
         p_rows, m_prev = pairs[:, 0], pairs[:, 1]
         if self.weight_decay:
             g = g + self.weight_decay * p_rows
         m_rows = self.momentum * m_prev + g
-        new_p = p_rows - _lr_at(self.learning_rate, state["count"]) * m_rows
+        new_p = p_rows - lr * m_rows
         new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
-        new_table = _apply_row_pairs(table, phys, new_pairs, sorted_dedup=on_tpu)
+        new_table = _apply_row_pairs(table, phys, new_pairs)
         return new_table, {"count": state["count"] + 1}
 
     def update_rows(self, table, state, idx, grad_rows):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from besskge_tpu.ops.pallas_distance import l1_distance_matrix
 
@@ -696,3 +697,92 @@ def test_gather_rows_skip_dups_first_of_run_only():
     sel = np.repeat(first, 2)
     want = table[(idx[:, None] + np.arange(2)).ravel()]
     np.testing.assert_array_equal(got[sel], want[sel])
+
+
+# ---------------------------------------------------------------------------
+# fused_pair_sgdm (gather + SGDM math + scatter in one kernel)
+# ---------------------------------------------------------------------------
+
+from besskge_tpu.ops.pallas_row_sgdm import fused_pair_sgdm  # noqa: E402
+
+
+def _sgdm_pairs_expected(table, logical, grads, lr, mom, wd):
+    out = table.copy()
+    seen = set()
+    for k, i in enumerate(logical):
+        i = int(i)
+        if i in seen:
+            continue
+        seen.add(i)
+        p, m = out[2 * i].astype(np.float64), out[2 * i + 1].astype(np.float64)
+        g = grads[k].astype(np.float64)
+        if wd:
+            g = g + wd * p
+        m = mom * m + g
+        out[2 * i] = (p - lr * m).astype(np.float32)
+        out[2 * i + 1] = m.astype(np.float32)
+    return out
+
+
+@pytest.mark.parametrize("wd", [0.0, 0.01])
+def test_fused_pair_sgdm_matches_reference_math(wd):
+    rng = np.random.default_rng(21)
+    n = 64
+    table = rng.normal(size=(2 * n, 128)).astype(np.float32)
+    logical = np.sort(rng.integers(0, n, size=24)).astype(np.int32)
+    grads = rng.normal(size=(24, 128)).astype(np.float32)
+    # duplicate-identical grads per the dedup contract
+    for k in range(1, 24):
+        if logical[k] == logical[k - 1]:
+            grads[k] = grads[k - 1]
+    got = np.asarray(
+        fused_pair_sgdm(
+            jnp.asarray(table), jnp.asarray(2 * logical), jnp.asarray(grads),
+            lr=0.05, momentum=0.9, weight_decay=wd, interpret=True,
+        )
+    )
+    want = _sgdm_pairs_expected(table, logical, grads, 0.05, 0.9, wd)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_pair_sgdm_multi_block_and_3d():
+    # R spans several k_block grid steps (K is min(512, R) so force many
+    # blocks with a tiny R per block via padding behavior: use R=1040).
+    rng = np.random.default_rng(22)
+    n = 1024
+    table = rng.normal(size=(1, 2 * n, 128)).astype(np.float32)
+    logical = np.sort(rng.integers(0, n, size=1040)).astype(np.int32)
+    grads = rng.normal(size=(1040, 128)).astype(np.float32)
+    order = np.argsort(logical, kind="stable")
+    for k in range(1, 1040):
+        if logical[k] == logical[k - 1]:
+            grads[k] = grads[k - 1]
+    del order
+    got = np.asarray(
+        fused_pair_sgdm(
+            jnp.asarray(table), jnp.asarray(2 * logical), jnp.asarray(grads),
+            lr=0.01, momentum=0.95, interpret=True,
+        )
+    )
+    want = _sgdm_pairs_expected(table[0], logical, grads, 0.01, 0.95, 0.0)
+    np.testing.assert_allclose(got[0], want, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_pair_sgdm_traced_lr_schedule():
+    rng = np.random.default_rng(23)
+    n = 32
+    table = rng.normal(size=(2 * n, 128)).astype(np.float32)
+    logical = np.sort(rng.integers(0, n, size=16)).astype(np.int32)
+    grads = rng.normal(size=(16, 128)).astype(np.float32)
+    for k in range(1, 16):
+        if logical[k] == logical[k - 1]:
+            grads[k] = grads[k - 1]
+    lr = jnp.float32(0.003) * 2.0  # traced scalar
+    got = np.asarray(
+        fused_pair_sgdm(
+            jnp.asarray(table), jnp.asarray(2 * logical), jnp.asarray(grads),
+            lr=lr, momentum=0.9, interpret=True,
+        )
+    )
+    want = _sgdm_pairs_expected(table, logical, grads, 0.006, 0.9, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
