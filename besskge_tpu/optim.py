@@ -499,12 +499,19 @@ class RowSGDM(EntityRowOptimizer):
         on_tpu = (
             jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
         )
-        if on_tpu:
-            # One kernel streams each UNIQUE [param | momentum] (2, D)
-            # block HBM->VMEM, applies the momentum update on the VPU, and
-            # streams it back — the (2R, D) gathered intermediate never
-            # exists in HBM and duplicate slots (~50% at BESS batch
-            # shapes) are skipped outright.
+        import os
+
+        # Measured A/B at the wikikg2 bench shape (BASELINE.md round 4):
+        # XLA row-gather + math + skip-dups Pallas scatter 2.39M/s (DEFAULT)
+        # > Pallas DMA pair-gather variant 2.15M/s ("pallas_gather")
+        # > fully-fused pair-SGDM kernel 1.97M/s ("fused").
+        # Reads lose as row DMAs: a read stream must cover the HBM
+        # round-trip latency that posted writes never pay, and XLA's
+        # gather fusion pipelines better; the fused kernel additionally
+        # serializes fetch/compute/store per block. Both variants stay
+        # selectable for future hardware via BESSKGE_FUSED_SGDM.
+        mode = os.environ.get("BESSKGE_FUSED_SGDM", "xla")
+        if on_tpu and mode == "fused":
             from besskge_tpu.ops.pallas_row_sgdm import fused_pair_sgdm
 
             new_table = fused_pair_sgdm(
@@ -513,6 +520,27 @@ class RowSGDM(EntityRowOptimizer):
                 skip_dups=True,
             )
             return new_table, {"count": state["count"] + 1}
+        if on_tpu and mode == "pallas_gather":
+            from besskge_tpu.ops.pallas_scatter import gather_rows
+
+            pairs = gather_rows(t, phys, slice_rows=2, skip_dups=True)
+            pairs = pairs.reshape(-1, 2, d)
+            p_rows, m_prev = pairs[:, 0], pairs[:, 1]
+            if self.weight_decay:
+                g = g + self.weight_decay * p_rows
+            m_rows = self.momentum * m_prev + g
+            new_p = p_rows - lr * m_rows
+            new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
+            new_table = _apply_row_pairs(
+                table, phys, new_pairs, sorted_dedup=True
+            )
+            return new_table, {"count": state["count"] + 1}
+        # Read as 2R single-row gathers. Measured alternatives, all WORSE
+        # (BASELINE.md round 4): (N, 2D) wide-row take via bitcast reshape
+        # — 0.43M/s end-to-end, XLA lowers wide-row gathers ~8x slower
+        # than 128-lane row gathers; Pallas DMA pair-gather — 2.15M/s
+        # (read DMAs pay the HBM round-trip posted writes don't); fully
+        # fused pair-SGDM kernel — 1.97M/s. This XLA form: 2.39M/s.
         flat_idx = (
             phys[:, None] + jnp.arange(2, dtype=phys.dtype)
         ).reshape(-1)
@@ -523,7 +551,7 @@ class RowSGDM(EntityRowOptimizer):
         m_rows = self.momentum * m_prev + g
         new_p = p_rows - lr * m_rows
         new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
-        new_table = _apply_row_pairs(table, phys, new_pairs)
+        new_table = _apply_row_pairs(table, phys, new_pairs, sorted_dedup=on_tpu)
         return new_table, {"count": state["count"] + 1}
 
     def update_rows(self, table, state, idx, grad_rows):
