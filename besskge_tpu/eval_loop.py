@@ -37,7 +37,56 @@ from besskge_tpu.bess import (
 )
 from besskge_tpu.parallel.mesh import param_partition_specs
 
-__all__ = ["run_device_eval"]
+__all__ = ["run_device_eval", "make_block_runner"]
+
+
+def make_block_runner(bess: "BessKGE", mesh: Optional[Mesh] = None):
+    """The jitted evaluator of one device-resident step-block.
+
+    ``run_block(params, block) -> (n_metric,) metric sums``, where
+    ``block`` stacks ``steps_per_block`` forward batches on a leading
+    axis (``lax.fori_loop`` consumes it step by step on device). Exposed
+    separately from :func:`run_device_eval` so callers can pre-stage
+    blocks and time pure device throughput (``bench.py run_valid``).
+    """
+    ev = bess.evaluation
+    n_metric = len(ev.metrics)
+
+    def block_fn(p, block):
+        n_steps = next(iter(block.values())).shape[0]
+
+        def body(i, acc):
+            batch = {
+                k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
+                for k, v in block.items()
+            }
+            outs = _device_step(bess, p, batch, train=False)
+            m = _format_outputs(bess, outs)["metrics"]  # (bps, 1, n_metric)
+            return acc + jnp.sum(m, axis=(0, 1))
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, jnp.zeros((n_metric,), jnp.float32)
+        )
+
+    if mesh is None:
+        if bess.axis_name is not None:
+            raise ValueError("A mesh is required unless axis_name is None")
+        return jax.jit(block_fn)
+
+    @jax.jit
+    def run_block(p, block):
+        p_specs = param_partition_specs(p)
+        b_specs = {k: P(None, None, "shard") for k in block}
+        mapped = jax.shard_map(
+            block_fn,
+            mesh=mesh,
+            in_specs=(p_specs, b_specs),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return mapped(p, block)
+
+    return run_block
 
 
 def run_device_eval(
@@ -65,42 +114,7 @@ def run_device_eval(
     if ev.reduction(jnp.zeros((2,))).ndim != 0:
         raise ValueError('run_device_eval needs reduction="sum"')
     n_metric = len(ev.metrics)
-
-    def block_fn(p, block):
-        n_steps = next(iter(block.values())).shape[0]
-
-        def body(i, acc):
-            batch = {
-                k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False)
-                for k, v in block.items()
-            }
-            outs = _device_step(bess, p, batch, train=False)
-            m = _format_outputs(bess, outs)["metrics"]  # (bps, 1, n_metric)
-            return acc + jnp.sum(m, axis=(0, 1))
-
-        return jax.lax.fori_loop(
-            0, n_steps, body, jnp.zeros((n_metric,), jnp.float32)
-        )
-
-    if mesh is None:
-        if bess.axis_name is not None:
-            raise ValueError("A mesh is required unless axis_name is None")
-        run_block = jax.jit(block_fn)
-    else:
-
-        @jax.jit
-        def run_block(p, block):
-            p_specs = param_partition_specs(p)
-            b_specs = {k: P(None, None, "shard") for k in block}
-            mapped = jax.shard_map(
-                block_fn,
-                mesh=mesh,
-                in_specs=(p_specs, b_specs),
-                out_specs=P(),
-                check_vma=False,
-            )
-            return mapped(p, block)
-
+    run_block = make_block_runner(bess, mesh)
     totals = np.zeros(n_metric, np.float64)
     n_queries = 0
     buf = []

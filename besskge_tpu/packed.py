@@ -218,11 +218,22 @@ def take_rows(
     as a plain table.
     """
     t = _flat(table)
+
+    def row_take(tab, rows):
+        # Flatten the index tensor: XLA lowers a flat-index row gather
+        # ~5x faster per row than the high-rank batched form the sampler
+        # layouts would otherwise produce ((bps, S, B, pad) indices on the
+        # 500-candidate eval block measured 21 ns/row vs 4.5 ns flat).
+        if rows.ndim <= 1:
+            return jnp.take(tab, rows, axis=0)
+        out = jnp.take(tab, rows.reshape(-1), axis=0)
+        return out.reshape(*rows.shape, tab.shape[-1])
+
     if not is_packed(t):
         if is_paired(t, n_logical):
-            return jnp.take(t, 2 * idx, axis=0)
-        return jnp.take(table, idx, axis=0)
-    pair = jnp.take(t, idx >> 1, axis=0)  # (…, D) 32-bit = both planes
+            return row_take(t, 2 * idx)
+        return row_take(t, idx)
+    pair = row_take(t, idx >> 1)  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     odd = (idx & 1).astype(bool)[..., None]
     return _from_bits16(jnp.where(odd, u >> 16, u & _LO), half_dtype(t))
