@@ -50,6 +50,14 @@ def _spc(default: int) -> int:
     return int(os.environ.get("BENCH_SPC", default))
 
 
+# BENCH_SMOKE=1 shrinks every config to toy shapes so the full bench —
+# every setup and every runner — executes end-to-end on CPU in CI
+# (tests/test_bench_smoke.py). The driver always runs full scale; the
+# smoke path exists because bench.py is driver-executed, load-bearing
+# code and BENCH_r04 shipped a setup crash no test could have caught.
+_SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
+
 CONFIGS = {
     "biokg": dict(
         metric="biokg_rotate_train_pos_triples_per_s_per_chip",
@@ -195,8 +203,12 @@ def _setup_biokg():
         init_optimizer_state,
     )
 
-    shard_bs, bps = 240, 48
-    ds = _make_dataset(93_773, 51, 4_762_678)
+    shard_bs, bps = (64, 4) if _SMOKE else (240, 48)
+    ds = (
+        _make_dataset(4_096, 51, 50_000)
+        if _SMOKE
+        else _make_dataset(93_773, 51, 4_762_678)
+    )
     sharding = Sharding.create(ds.n_entity, 1, seed=0)
     pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
     score_fn = RotatE(
@@ -228,10 +240,21 @@ def _setup_biokg():
     hstep = build_train_step(bess, optimizer, None)
     hbs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
                                     batches_per_step=bps, seed=0)
+    # Analytic per-step HBM traffic (model for _cost_fields' hbm_bw_pct):
+    # dense AdamW sweeps the FULL param set every step — read p, mu, nu,
+    # grad + write p, mu, nu (7x param bytes) plus the table-sized dense
+    # gradient write the backward materializes (1x); the batch's embedding
+    # gathers (h + t + 1 shared "ht" negative per positive, 128-float
+    # RotatE rows) are read once forward and once backward.
+    p_bytes = sum(4 * int(np.prod(v.shape)) for v in params.values())
+    row_b = 4 * 128
+    gather_b = shard_bs * bps * 3 * row_b
+    hbm_bytes = 8 * p_bytes + 2 * gather_b
     return dict(
         dstep=dstep, dev=dev, hstep=hstep, hbs=hbs,
         params=params, opt_state=opt_state,
         pos_per_step=shard_bs * bps,
+        hbm_bytes_per_step=hbm_bytes,
     )
 
 
@@ -253,8 +276,12 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
         init_optimizer_state,
     )
 
-    shard_bs, bps = 512, 8
-    ds = _make_dataset(2_500_604, 535, 1_000_000)
+    shard_bs, bps = (64, 2) if _SMOKE else (512, 8)
+    ds = (
+        _make_dataset(8_192, 535, 50_000)
+        if _SMOKE
+        else _make_dataset(2_500_604, 535, 1_000_000)
+    )
     sharding = Sharding.create(ds.n_entity, 1, seed=0)
     pts = PartitionedTripleSet.create_from_dataset(ds, "train", sharding)
     score_fn = TransE(
@@ -289,7 +316,12 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     # slices of multi-lane-tile memrefs (a 256-wide fp32 row is two
     # discontiguous 512B fragments under (8,128) tiling), while (2,128)
     # pair slices at even offsets are tile-contiguous.
-    interleave = True
+    #
+    # Packed 16-bit tables keep their own layout (two halfwords per 32-bit
+    # word, besskge_tpu.packed) — interleave_momentum requires a plain fp32
+    # table and raises otherwise (optim.py guard; BENCH_r04 shipped with
+    # this unconditionally True and crashed the bf16/fp16 configs).
+    interleave = not (bf16_table or fp16_table)
     row = RowSGDM(learning_rate=1e-3, momentum=0.9, interleaved=interleave)
     params = score_fn.initial_params_device()
     if interleave:
@@ -315,27 +347,65 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     hstep = build_train_step(bess, opt, None, row)
     hbs = RandomShardedBatchSampler(pts, ns, shard_bs=shard_bs,
                                     batches_per_step=bps, seed=0)
+    # Analytic per-step HBM traffic (model for _cost_fields' hbm_bw_pct):
+    # the sparse row optimizer touches ONLY gathered rows — h + t per
+    # positive and the flat shared negatives. Each touched row is read by
+    # the forward gather, read again by the backward, and read + written
+    # by the row update. Interleaved fp32 moves (param, momentum) (2, D)
+    # pairs per touch; packed 16-bit moves half-width rows plus a separate
+    # fp32 momentum row at update time. The small relation table is dense
+    # SGDM (read p, m, g + write p, m + grad write = 6x).
+    D = 128
+    rows_touched = shard_bs * bps * 2 + 32 * bps
+    if bf16_table or fp16_table:
+        row_rw = 2 * (2 * D) + (2 * (2 * D) + 2 * (4 * D))
+    else:
+        pair_b = 2 * D * 4
+        row_rw = 4 * pair_b
+    rel_bytes = 535 * D * 4
+    hbm_bytes = rows_touched * row_rw + 6 * rel_bytes
     return dict(
         dstep=dstep, dev=dev, hstep=hstep, hbs=hbs,
         params=params, opt_state=opt_state,
         pos_per_step=shard_bs * bps,
+        hbm_bytes_per_step=hbm_bytes,
     )
 
 
-def _cost_fields(lowerable, step_s, *args):
-    """MFU / HBM utilization from the compiled step's XLA cost analysis."""
+def _cost_fields(lowerable, step_s, *args, analytic_bytes=None):
+    """MFU from the compiled step's XLA cost analysis (FLOPs are
+    fusion-invariant), HBM utilization from an ANALYTIC per-step traffic
+    model supplied by the setup.
+
+    Round-4 VERDICT #7: the cost analysis' "bytes accessed" counts
+    pre-fusion LOGICAL bytes — every elementwise producer/consumer edge,
+    even ones fused into registers/VMEM — and exceeded the physical
+    roofline (114.6% on biokg in BENCH_r04). ``analytic_bytes`` is instead
+    a first-order model of mandatory DRAM traffic (tables swept by dense
+    optimizers, rows touched by sparse gathers/scatters, batch I/O; stated
+    per config at its setup site), so the derived percentage is a true
+    utilization lower bound and cannot exceed 100 unless the step beats
+    physics. The raw logical number is still reported for transparency as
+    ``xla_logical_bytes_per_step``.
+    """
+    out = {"mfu_bf16_pct": None, "hbm_bw_pct": None}
     try:
         cost = lowerable.lower(*args).compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         byts = float(cost.get("bytes accessed", 0.0))
-        return {
-            "mfu_bf16_pct": round(100 * flops / step_s / PEAK_FLOPS_BF16, 2),
-            "hbm_bw_pct": round(100 * byts / step_s / PEAK_HBM_BPS, 2),
-        }
+        out["mfu_bf16_pct"] = round(100 * flops / step_s / PEAK_FLOPS_BF16, 2)
+        out["xla_logical_bytes_per_step"] = byts
     except Exception:  # cost analysis is best-effort (backend-dependent)
-        return {"mfu_bf16_pct": None, "hbm_bw_pct": None}
+        pass
+    if analytic_bytes is not None:
+        out["hbm_bw_pct"] = round(
+            100 * analytic_bytes / step_s / PEAK_HBM_BPS, 2
+        )
+        out["hbm_bytes_model"] = "analytic_min_traffic"
+        out["hbm_bytes_per_step"] = int(analytic_bytes)
+    return out
 
 
 def _device_prefetch(it, depth: int = 2):
@@ -366,7 +436,9 @@ def run_topk(n_steps: int = 20, repeats: int = 3) -> dict:
     from besskge_tpu.scoring import ComplEx
     from besskge_tpu.sharding import Sharding
 
-    n_entity, batch = 123_182, 512
+    n_entity, batch = (4_096, 64) if _SMOKE else (123_182, 512)
+    if _SMOKE:
+        n_steps, repeats = 2, 1
     rng = np.random.default_rng(0)
     sharding = Sharding.create(n_entity, 1, seed=0)
     score_fn = ComplEx(
@@ -426,7 +498,9 @@ def run_valid(n_valid: int = 40_960, repeats: int = 3) -> dict:
     from besskge_tpu.sharding import PartitionedTripleSet, Sharding
 
     rng = np.random.default_rng(0)
-    n_entity = 2_500_604
+    n_entity = 8_192 if _SMOKE else 2_500_604
+    if _SMOKE:
+        n_valid, repeats = 640, 1
     ds = _make_dataset(n_entity, 535, 1000)
     ds.triples["valid"] = np.stack(
         [
@@ -450,8 +524,9 @@ def run_valid(n_valid: int = 40_960, repeats: int = 3) -> dict:
     ns = TripleBasedShardedNegativeSampler(
         None, pts.neg_tails, sharding, corruption_scheme="t", seed=0
     )
+    sbs, bps = (64, 2) if _SMOKE else (256, 10)
     bs = RigidShardedBatchSampler(
-        pts, ns, shard_bs=256, batches_per_step=10, seed=0,
+        pts, ns, shard_bs=sbs, batches_per_step=bps, seed=0,
         duplicate_batch=False,
     )
     score_fn = TransE(
@@ -468,9 +543,10 @@ def run_valid(n_valid: int = 40_960, repeats: int = 3) -> dict:
 
     # End-to-end through the (network-attached) input path once — metric
     # correctness + the honest tunnel-bound rate.
+    spb = 4 if _SMOKE else 16
     t0 = time.perf_counter()
     metrics, n_queries = run_device_eval(
-        bess, params, bs, mesh=None, steps_per_block=16
+        bess, params, bs, mesh=None, steps_per_block=spb
     )
     e2e_s = time.perf_counter() - t0
     assert all(np.isfinite(v) for v in metrics.values()), metrics
@@ -484,7 +560,6 @@ def run_valid(n_valid: int = 40_960, repeats: int = 3) -> dict:
     from besskge_tpu.eval_loop import make_block_runner
 
     run_block = make_block_runner(bess, mesh=None)
-    spb = 16
     blocks, buf = [], []
     import jax.numpy as jnp
 
@@ -559,7 +634,9 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
     from besskge_tpu.sharding import PartitionedTripleSet, Sharding
 
     rng = np.random.default_rng(0)
-    n_entity = 500_000
+    n_entity = 8_192 if _SMOKE else 500_000
+    if _SMOKE:
+        n_queries, repeats = 64, 1
     ds = _make_dataset(n_entity, 535, 1000)
     sharding = Sharding.create(n_entity, 1, seed=0)
     queries = np.stack(
@@ -574,8 +651,9 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
         ds, sharding, queries, "hr", ground_truth=truth
     )
     pns = PlaceholderNegativeSampler(corruption_scheme="t", seed=0)
+    sbs, sbps = (32, 2) if _SMOKE else (256, 4)
     bs = RigidShardedBatchSampler(
-        pts, pns, shard_bs=256, batches_per_step=4, seed=0,
+        pts, pns, shard_bs=sbs, batches_per_step=sbps, seed=0,
         return_triple_idx=True,
     )
     score_fn = TransE(
@@ -583,10 +661,11 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
         n_relation_type=535, embedding_size=128, seed=0,
     )
     score_fn.compute_dtype = jnp.bfloat16
+    window = 2_048 if _SMOKE else 65_536
     pipe = AllScoresPipeline(
         bs, "t", score_fn, mesh=None,
         evaluation=Evaluation(["mrr", "hits@10"], reduction="sum"),
-        window_size=65_536,
+        window_size=window,
     )
     params = score_fn.initial_params_device()
 
@@ -613,7 +692,7 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
         ],
         "n_queries": n_queries,
         "n_entity": n_entity,
-        "window_size": 65_536,
+        "window_size": window,
         "host_stitch_d2h_gb": round(
             n_queries * n_entity * 4 / 1e9, 2
         ),
@@ -632,7 +711,7 @@ def run_overlap() -> dict:
 
     res = subprocess.run(
         [sys.executable, "-u", "benchmarks/overlap_aot.py"],
-        capture_output=True, text=True, timeout=900,
+        capture_output=True, text=True, timeout=300 if _SMOKE else 900,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = None
@@ -731,6 +810,8 @@ def run_census() -> dict:
 
 
 def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
+    if _SMOKE:
+        n_steps, repeats = 16, 1
     if name == "topk_yago":
         return run_topk()
     if name == "census":
@@ -780,6 +861,7 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
     cost = _cost_fields(
         dstep, med / (n_calls * spc),
         params, opt_state, dstate, dev.next_key(0),
+        analytic_bytes=s.get("hbm_bytes_per_step"),
     )
 
     # ---- secondary: host input pipeline (the reference's architecture) ----
@@ -790,7 +872,7 @@ def run_one(name: str, n_steps: int = 120, repeats: int = 3) -> dict:
     first = next(loader)
     params, opt_state, out = hstep(params, opt_state, first)
     loss = float(out["loss"])
-    h_steps = max(20, n_steps // 2)
+    h_steps = max(2, n_steps // 2) if _SMOKE else max(20, n_steps // 2)
     t0 = time.perf_counter()
     for _ in range(h_steps):
         params, opt_state, out = hstep(params, opt_state, next(loader))
