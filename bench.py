@@ -331,7 +331,10 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
         params["entity_embedding"] = interleave_momentum(
             params["entity_embedding"]
         )
-    opt_state = init_optimizer_state(opt, params, None, row)
+    opt_state = init_optimizer_state(
+        opt, params, None, row,
+        n_logical=sharding.n_shard * sharding.max_entity_per_shard,
+    )
 
     dev = DeviceBatchSampler(pts, ns, shard_bs=shard_bs,
                              batches_per_step=bps, seed=0,

@@ -332,7 +332,10 @@ def gather_rows(
     pad_n = r + ((-r) % _U)
     # Window must be a multiple of _U and strictly less than the padded
     # length for the fill/steady/drain pipeline; short inputs take the
-    # fully-unrolled start-all/wait-all path instead (w = n).
+    # fully-unrolled start-all/wait-all path instead (w = n). A
+    # caller-supplied window is rounded DOWN to the _U grid — a ragged
+    # window would leave slots started-but-never-waited (hang/corrupt).
+    window = max(_U, window - window % _U)
     w = pad_n if pad_n <= 64 else min(window, pad_n - _U)
     pad = (-r) % _U
     if pad:

@@ -25,11 +25,21 @@ No reference equivalent — this replaces ``poptorch.optim`` dense updates
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Interleaved-SGDM read-path variant (see RowSGDM._update_rows_interleaved
+# for the measured A/B): "xla" (default) | "pallas_gather" | "fused".
+# Read ONCE at import: update_rows executes at TRACE time, so a mid-process
+# change would silently not take effect after the first train-step compile
+# (and could diverge across hosts in multi-host runs). Set the variable
+# before importing besskge_tpu, or pass RowSGDM(fused_variant=...) to pin
+# it per optimizer instance.
+_FUSED_SGDM_MODE = os.environ.get("BESSKGE_FUSED_SGDM", "xla")
 
 __all__ = [
     "RowAdamW",
@@ -337,8 +347,15 @@ class EntityRowOptimizer:
     #: True when optimizer state lives inside the widened param table
     interleaved: bool = False
 
-    def init(self, table: jnp.ndarray) -> Dict[str, Any]:
-        """Optimizer state for one local table shard."""
+    def init(
+        self, table: jnp.ndarray, n_logical: int | None = None
+    ) -> Dict[str, Any]:
+        """Optimizer state for one local table shard.
+
+        ``n_logical`` (optional) is the GLOBAL logical entity-row count;
+        when given, layout-sensitive optimizers validate the physical table
+        height against it (an interleaved table must be exactly
+        ``2 * n_logical`` rows — see :class:`RowSGDM`)."""
         raise NotImplementedError
 
     def update_rows(
@@ -409,7 +426,7 @@ class RowAdamW(EntityRowOptimizer):
     #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
 
-    def init(self, table):
+    def init(self, table, n_logical=None):
         return {
             "mu": jnp.zeros(_moment_shape(table), jnp.float32),
             "nu": jnp.zeros(_moment_shape(table), jnp.float32),
@@ -459,8 +476,11 @@ class RowSGDM(EntityRowOptimizer):
     #: automatically; checkpoint save/load de/re-interleaves so the
     #: on-disk format is unchanged).
     interleaved: bool = False
+    #: interleaved read-path variant override ("xla" | "pallas_gather" |
+    #: "fused"); None uses the import-time BESSKGE_FUSED_SGDM default.
+    fused_variant: str | None = None
 
-    def init(self, table):
+    def init(self, table, n_logical=None):
         if self.interleaved:
             t = _flat(table)
             if self.momentum == 0.0:
@@ -468,6 +488,15 @@ class RowSGDM(EntityRowOptimizer):
             if _is_16bit_table(table) or t.dtype.itemsize != 4:
                 raise ValueError(
                     "interleaved momentum requires a plain fp32 table"
+                )
+            # An even-N PLAIN table passes the parity check but would take
+            # unguarded Pallas DMA writes at phys=2*idx up to 2N-2 rows
+            # past the buffer — when the caller knows the logical row
+            # count, require the exact widened height.
+            if n_logical is not None and t.shape[0] != 2 * n_logical:
+                raise ValueError(
+                    f"interleaved table must be (2*{n_logical}, D) — got "
+                    f"{tuple(t.shape)}; widen it with interleave_momentum()"
                 )
             if t.shape[0] % 2:
                 raise ValueError(
@@ -499,8 +528,6 @@ class RowSGDM(EntityRowOptimizer):
         on_tpu = (
             jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
         )
-        import os
-
         # Measured A/B at the wikikg2 bench shape (BASELINE.md round 4):
         # XLA row-gather + math + skip-dups Pallas scatter 2.39M/s (DEFAULT)
         # > Pallas DMA pair-gather variant 2.15M/s ("pallas_gather")
@@ -509,8 +536,9 @@ class RowSGDM(EntityRowOptimizer):
         # round-trip latency that posted writes never pay, and XLA's
         # gather fusion pipelines better; the fused kernel additionally
         # serializes fetch/compute/store per block. Both variants stay
-        # selectable for future hardware via BESSKGE_FUSED_SGDM.
-        mode = os.environ.get("BESSKGE_FUSED_SGDM", "xla")
+        # selectable for future hardware via the ``fused_variant`` field
+        # or BESSKGE_FUSED_SGDM (import-time; see _FUSED_SGDM_MODE).
+        mode = self.fused_variant or _FUSED_SGDM_MODE
         if on_tpu and mode == "fused":
             from besskge_tpu.ops.pallas_row_sgdm import fused_pair_sgdm
 
@@ -589,7 +617,7 @@ class RowAdagrad(EntityRowOptimizer):
     #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
 
-    def init(self, table):
+    def init(self, table, n_logical=None):
         return {
             "acc": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
@@ -632,7 +660,7 @@ class FusedDenseAdamW:
     eps: float = 1e-8
     weight_decay: float = 0.0
 
-    def init(self, table):
+    def init(self, table, n_logical=None):
         return {
             "mu": jnp.zeros(table.shape, jnp.float32),
             "nu": jnp.zeros(table.shape, jnp.float32),

@@ -190,6 +190,15 @@ def is_paired(table: jnp.ndarray, n_logical: int | None) -> bool:
     by the STATIC row count: entity tables otherwise have exactly
     ``n_logical`` (plain) or ``ceil(n_logical/2)`` (packed) rows, so
     ``2·n_logical`` is unambiguous at trace time.
+
+    CONTRACT: ``n_logical`` must be the logical entity-row count of the
+    EXACT shard passed (``sharding.max_entity_per_shard`` for a per-device
+    block, the global count for a whole unsharded table) — a plain table
+    paired with somebody else's ``n_logical`` (e.g. a global 2-shard table
+    with the per-shard count) would be silently mis-read as pair-major.
+    Callers that know the layout out-of-band should pass ``paired=`` to
+    :func:`take_rows` / :func:`take_contiguous_rows` instead of relying on
+    the shape inference.
     """
     t = _flat(table)
     return (
@@ -199,8 +208,22 @@ def is_paired(table: jnp.ndarray, n_logical: int | None) -> bool:
     )
 
 
+def _resolve_paired(t, n_logical, paired):
+    """Explicit ``paired`` override with shape validation, else inference."""
+    if paired is None:
+        return is_paired(t, n_logical)
+    if paired and (is_packed(t) or t.shape[0] % 2):
+        raise ValueError(
+            f"paired=True requires a plain fp32 pair-major (2N, D) table; "
+            f"got {'packed' if is_packed(t) else 'odd-height'} "
+            f"{tuple(t.shape)}"
+        )
+    return paired
+
+
 def take_rows(
-    table: jnp.ndarray, idx: jnp.ndarray, n_logical: int | None = None
+    table: jnp.ndarray, idx: jnp.ndarray, n_logical: int | None = None,
+    paired: bool | None = None,
 ) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
     tables and a gather + elementwise plane-select for packed ones.
@@ -210,12 +233,13 @@ def take_rows(
     routes through here so packed storage is transparent to the BESS
     programs.
 
-    ``n_logical`` (optional) is the logical entity-row count of the shard
-    (``sharding.max_entity_per_shard``); it enables pair-major
-    interleaved-momentum tables (see :func:`is_paired`), whose param row
-    for logical id ``i`` lives at physical row ``2i`` — the momentum rows
-    are simply never addressed, so forward/eval reads cost the same DMAs
-    as a plain table.
+    ``n_logical`` (optional) is the logical entity-row count of the EXACT
+    shard passed (``sharding.max_entity_per_shard`` for a per-device
+    block); it enables pair-major interleaved-momentum tables (see
+    :func:`is_paired`), whose param row for logical id ``i`` lives at
+    physical row ``2i`` — the momentum rows are simply never addressed, so
+    forward/eval reads cost the same DMAs as a plain table. ``paired``
+    overrides the shape inference when the caller knows the layout.
     """
     t = _flat(table)
 
@@ -229,8 +253,9 @@ def take_rows(
         out = jnp.take(tab, rows.reshape(-1), axis=0)
         return out.reshape(*rows.shape, tab.shape[-1])
 
+    paired = _resolve_paired(t, n_logical, paired)
     if not is_packed(t):
-        if is_paired(t, n_logical):
+        if paired:
             return row_take(t, 2 * idx)
         return row_take(t, idx)
     pair = row_take(t, idx >> 1)  # (…, D) 32-bit = both planes
@@ -242,6 +267,7 @@ def take_rows(
 def take_contiguous_rows(
     table: jnp.ndarray, start: jnp.ndarray, w: int,
     n_logical: int | None = None,
+    paired: bool | None = None,
 ) -> jnp.ndarray:
     """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
 
@@ -256,8 +282,9 @@ def take_contiguous_rows(
     (:func:`besskge_tpu.optim.split_interleaved`).
     """
     t = _flat(table)
+    paired = _resolve_paired(t, n_logical, paired)
     if not is_packed(t):
-        if is_paired(t, n_logical):
+        if paired:
             pair = jax.lax.dynamic_slice_in_dim(t, 2 * start, 2 * w, axis=0)
             return pair.reshape(w, 2, -1)[:, 0]
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)

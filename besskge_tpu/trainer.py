@@ -69,12 +69,17 @@ def init_optimizer_state(
     params: Params,
     mesh: Optional[Mesh] = None,
     entity_optimizer: Optional["EntityRowOptimizer"] = None,
+    n_logical: Optional[int] = None,
 ) -> Any:
     """Initialize optimizer state; on a mesh, entity-table moments inherit
     the table's sharding (one block per device, never communicated).
 
     With ``entity_optimizer``, the state is ``{"entity": row-optimizer
     state, "other": optax state for the replicated params}``.
+    ``n_logical`` (the global logical entity count,
+    ``sharding.n_shard * sharding.max_entity_per_shard``) lets
+    layout-sensitive row optimizers validate the table height — pass it
+    whenever known (the Trainer does).
     """
 
     if entity_optimizer is None:
@@ -84,7 +89,9 @@ def init_optimizer_state(
         def _init(p):
             other = {k: v for k, v in p.items() if k != "entity_embedding"}
             return {
-                "entity": entity_optimizer.init(p["entity_embedding"]),
+                "entity": entity_optimizer.init(
+                    p["entity_embedding"], n_logical=n_logical
+                ),
                 "other": optimizer.init(other),
             }
 
@@ -518,6 +525,18 @@ class Trainer:
                 # passes through unchanged
                 raw = dict(raw)
                 raw["entity_embedding"] = interleave_momentum(tab)
+            elif tab.shape[-2] != 2 * n_global:
+                # Anything else (e.g. params saved from a differently
+                # sharded run fed in without re-sharding) would otherwise
+                # surface later as an opaque init() shape error or a wrong
+                # is_paired decision — fail clearly at construction.
+                raise ValueError(
+                    f"entity table has {tab.shape[-2]} rows; expected "
+                    f"{n_global} (plain, to be widened) or {2 * n_global} "
+                    f"(already pair-interleaved) for this sharding — "
+                    f"re-shard the checkpoint (checkpoint.load with the "
+                    f"current Sharding) before constructing the Trainer"
+                )
         if mesh is not None:
             from besskge_tpu.parallel.mesh import shard_params
 
@@ -527,7 +546,10 @@ class Trainer:
         else:
             self.params = jax.tree.map(jnp.asarray, raw)
         self.opt_state = init_optimizer_state(
-            optimizer, self.params, mesh, entity_optimizer
+            optimizer, self.params, mesh, entity_optimizer,
+            n_logical=(
+                bess.sharding.n_shard * bess.sharding.max_entity_per_shard
+            ),
         )
         if self.device_sampling:
             self.sampler_state = batch_sampler.state()

@@ -276,3 +276,81 @@ def test_interleaved_requires_fp32_and_momentum():
     row2 = RowSGDM(learning_rate=0.1, momentum=0.9, interleaved=True)
     with pytest.raises(ValueError, match="fp32"):
         row2.init(jnp.zeros((8, 32), jnp.bfloat16))
+
+
+def test_interleaved_init_validates_logical_height():
+    """An even-N PLAIN table (not widened) passes the parity check alone but
+    would take out-of-bounds DMA writes at phys=2*idx; with the logical row
+    count supplied, init must demand the exact (2*n_logical, D) height
+    (round-4 advisor finding)."""
+    import pytest
+
+    row = RowSGDM(learning_rate=0.1, momentum=0.9, interleaved=True)
+    with pytest.raises(ValueError, match="interleave_momentum"):
+        row.init(jnp.zeros((8, 32), jnp.float32), n_logical=8)
+    # correctly widened table passes
+    row.init(jnp.zeros((16, 32), jnp.float32), n_logical=8)
+    # and the Trainer's init path threads n_logical through
+    from besskge_tpu.trainer import init_optimizer_state as init_os
+
+    with pytest.raises(ValueError, match="interleave_momentum"):
+        init_os(
+            optax.sgd(0.1),
+            {"entity_embedding": jnp.zeros((8, 32), jnp.float32),
+             "relation_embedding": jnp.zeros((4, 32), jnp.float32)},
+            None, row, n_logical=8,
+        )
+
+
+def test_take_rows_paired_override():
+    """Explicit ``paired=`` beats the shape heuristic: a plain table whose
+    height happens to be 2*n_logical must be readable as plain (round-4
+    advisor finding), and paired=True on an incompatible table raises."""
+    import pytest
+
+    from besskge_tpu.packed import pack_table, take_rows
+
+    t = jnp.arange(16 * 4, dtype=jnp.float32).reshape(16, 4)
+    # heuristic says pair-major at n_logical=8 ...
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t, jnp.array([3]), n_logical=8))[0],
+        np.asarray(t)[6],
+    )
+    # ... explicit override reads it as the plain table it is
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t, jnp.array([3]), n_logical=8, paired=False))[0],
+        np.asarray(t)[3],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(t, jnp.array([3]), paired=True))[0],
+        np.asarray(t)[6],
+    )
+    with pytest.raises(ValueError, match="paired"):
+        take_rows(
+            pack_table(jnp.zeros((16, 4), jnp.bfloat16)),
+            jnp.array([3]), paired=True,
+        )
+    with pytest.raises(ValueError, match="paired"):
+        take_rows(jnp.zeros((15, 4), jnp.float32), jnp.array([3]), paired=True)
+
+
+def test_fused_variant_field_overrides_env_default():
+    """BESSKGE_FUSED_SGDM is captured once at import (trace-time reads would
+    silently ignore mid-process changes — round-4 advisor finding); the
+    RowSGDM.fused_variant field is the per-instance override."""
+    from besskge_tpu import optim as optim_mod
+
+    assert optim_mod._FUSED_SGDM_MODE == "xla"  # captured default
+    row = RowSGDM(
+        learning_rate=0.5, momentum=0.9, interleaved=True,
+        fused_variant="xla",
+    )
+    n = 16
+    table = interleave_momentum(
+        jnp.asarray(np.random.default_rng(0).normal(size=(n, 32)), jnp.float32)
+    )
+    st = row.init(table, n_logical=n)
+    idx = jnp.array([1, 5, 5, 9], jnp.int32)
+    g = jnp.asarray(np.random.default_rng(1).normal(size=(4, 32)), jnp.float32)
+    new_t, _ = row.update_rows(table, st, idx, g)
+    assert np.isfinite(np.asarray(new_t)).all()

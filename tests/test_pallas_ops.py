@@ -786,3 +786,16 @@ def test_fused_pair_sgdm_traced_lr_schedule():
     )
     want = _sgdm_pairs_expected(table, logical, grads, 0.006, 0.9, 0.0)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gather_rows_ragged_window_rounds_down():
+    """A caller-supplied window not on the _U grid must not hang/corrupt the
+    fill/steady/drain pipeline (round-4 advisor finding): it is rounded down
+    to a multiple of the unroll factor."""
+    rng = np.random.default_rng(15)
+    table = rng.normal(size=(512, 128)).astype(np.float32)
+    idx = rng.integers(0, 512, size=200).astype(np.int32)
+    for w in (13, 9, 100):
+        got = np.asarray(gather_rows(jnp.asarray(table), jnp.asarray(idx),
+                                     interpret=True, window=w))
+        np.testing.assert_array_equal(got, table[idx])
