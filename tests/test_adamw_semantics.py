@@ -22,14 +22,23 @@ Three layers of evidence:
    direction to explain needing 4x the notebook lr (and the parity example
    uses dense optax.adamw anyway).
 
-3. **Update-cadence accounting** (the measured cause — see BASELINE.md) —
-   the notebook updates every ``accum_factor`` micro-batches: global update
-   batch 240 x 4 shards x 6 accum = 5,760 positives, ~864 AdamW steps per
-   epoch (cell 22: device_iterations=8 are separate optimizer steps, NOT
-   accumulation). Round 2/3's parity runs treated all 48 micro-batches as
-   ONE update (11,520 positives, ~414 steps/epoch) — half the optimizer
-   steps at the same lr. The test pins the arithmetic; the end-to-end
-   confirmation is the `--bps 24` parity run in BASELINE.md.
+3. **Update-cadence accounting** (measured: a real but MINOR contributor
+   — see BASELINE.md "round 5 cadence run") — the notebook updates every
+   ``accum_factor`` micro-batches: global update batch 240 x 4 shards x 6
+   accum = 5,760 positives, ~827 AdamW steps per epoch (cell 22:
+   device_iterations=8 are separate optimizer steps, NOT accumulation).
+   Round 2/3's parity runs treated all 48 micro-batches as ONE update
+   (11,520 positives, ~414 steps/epoch) — half the optimizer steps at the
+   same lr. The round-5 end-to-end run at the reference cadence
+   (``--bps 24 --lr 1e-3 --epochs 25``) measures valid MRR **0.7974** vs
+   0.7920 at bps 48 — cadence recovers ~0.005 of the ~0.026 gap to the
+   real-data bar (0.818), so it is NOT the dominant cause. The remaining
+   gap is fixture optimization hardness at the notebook lr: the model is
+   still underfit at 25 epochs x 1e-3 (100 epochs -> 0.8145; lr
+   4e-3 + warmup + cosine reaches 0.8185 in the same 25-epoch budget),
+   consistent with the planted fixture being harder to fit per-epoch than
+   real biokg while the recipe itself is exonerated by the 93%-of-oracle
+   extraction.
 """
 
 import numpy as np
