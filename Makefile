@@ -33,10 +33,15 @@ lint:
 install:
 	pip install -e ".[dev]"
 
+# Render the markdown docs to a static HTML site (docs/html/) — the
+# analog of the reference's Sphinx build (its docs/source/conf.py).
+docs:
+	python docs/build_html.py
+
 # One-command CI aggregate (analog of the reference's `./dev ci`,
 # /root/reference/dev:55-160): build native lib, lint, type-check, run the
 # full suite on the 8-device virtual CPU mesh.
-ci: native lint test
+ci: native lint test docs
 
 clean:
 	rm -rf besskge_tpu/_native_build .pytest_cache
