@@ -173,8 +173,12 @@ def _apply_rows(
     if is_packed(_flat(table)):
         # merge returns SORTED packed indices with full segment-merged
         # content at every slot, so the sorted-dedup contract holds for
-        # the packed writes regardless of the input's.
-        idx, rows = merge_packed_row_writes(table, idx, rows)
+        # the packed writes regardless of the input's. Sorted input takes
+        # the cheap adjacency merge (measured ~1.2 ms/step saved at
+        # wikikg2 shapes — BASELINE.md round-5 decomposition).
+        idx, rows = merge_packed_row_writes(
+            table, idx, rows, sorted_idx=sorted_dedup
+        )
         sorted_dedup = True
     else:
         rows = rows.astype(table.dtype)
@@ -206,7 +210,9 @@ def _apply_rows_multi(writes, sorted_dedup: bool = False):
     for table, idx, rows in writes:
         if is_packed(_flat(table)):
             # merged packed indices are sorted + duplicate-identical
-            idx, rows = merge_packed_row_writes(table, idx, rows)
+            idx, rows = merge_packed_row_writes(
+                table, idx, rows, sorted_idx=sorted_dedup
+            )
             resolved.append((table, idx, rows, True))
         else:
             rows = rows.astype(table.dtype)

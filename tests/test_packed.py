@@ -480,3 +480,36 @@ def test_sr_fp16_unbiased_and_finer_than_bf16():
     assert err16 < 2e-4, err16
     # And the dtype's rounding noise ordering holds.
     assert err16 < errb16, (err16, errb16)
+
+
+@pytest.mark.parametrize("three_d", [False, True])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_sorted_adjacency_equals_general(three_d, seed):
+    """The sorted_idx adjacency merge (round 5) must be byte-identical to
+    the general segmented-scan merge on sorted duplicate-identical input —
+    randomized over sibling presence, duplicates, run lengths, boundaries."""
+    rng = np.random.default_rng(seed)
+    n, d = 64, 128
+    tab = rng.normal(size=(n, d)).astype(np.float32)
+    packed = pk.pack_table(jnp.asarray(tab))
+    if three_d:
+        packed = packed[None]
+    # sorted logical ids incl. row 0 and n-1, duplicates, sibling pairs
+    raw = np.unique(
+        np.concatenate([
+            rng.integers(0, n, size=40),
+            [0, 1, n - 2, n - 1],
+        ])
+    ).astype(np.int32)
+    reps = rng.integers(1, 4, size=raw.shape[0])
+    idx = np.repeat(raw, reps).astype(np.int32)  # sorted with duplicates
+    uniq_rows = rng.normal(size=(raw.shape[0], d)).astype(np.float32)
+    rows = np.repeat(uniq_rows, reps, axis=0)  # duplicate-identical
+    gi, gr = pk.merge_packed_row_writes(
+        packed, jnp.asarray(idx), jnp.asarray(rows)
+    )
+    fi, fr = pk.merge_packed_row_writes(
+        packed, jnp.asarray(idx), jnp.asarray(rows), sorted_idx=True
+    )
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(fi))
+    np.testing.assert_array_equal(np.asarray(gr), np.asarray(fr))
