@@ -147,8 +147,11 @@ def _make_rows():
                 )
             live = _live(new_rows, m_rows)
             if self.merge:
+                # sorted_idx=True = the production path (the general
+                # segmented merge measured 1.05 ms/step in-context before
+                # the round-5 adjacency fix — BASELINE.md)
                 p_idx, p_rows_m = merge_packed_row_writes(
-                    table, idx, new_rows
+                    table, idx, new_rows, sorted_idx=True
                 )
                 live = live + _live(p_idx, p_rows_m)
             new_state["live"] = state["live"] + live
