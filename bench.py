@@ -664,7 +664,9 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
         n_relation_type=535, embedding_size=128, seed=0,
     )
     score_fn.compute_dtype = jnp.bfloat16
-    window = 2_048 if _SMOKE else 65_536
+    # 64k windows measured fastest (128k/256k slower — larger per-window
+    # score blocks thrash VMEM working sets); BENCH_ASW overrides.
+    window = 2_048 if _SMOKE else int(os.environ.get("BENCH_ASW", 65_536))
     pipe = AllScoresPipeline(
         bs, "t", score_fn, mesh=None,
         evaluation=Evaluation(["mrr", "hits@10"], reduction="sum"),
@@ -684,11 +686,16 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
     e2e_s = time.perf_counter() - t0
     assert np.isfinite(out["metrics_avg"]["mrr"]), out["metrics_avg"]
 
-    # Primary: the DEVICE program — the same jitted AllScoresBESS window
-    # step over every (batch, window), results left on device with a
-    # scalar reduction fetched once per repeat as the sync point. This is
-    # the same primary/secondary split the training lines and run_valid
-    # report (device-resident vs host-pipeline).
+    # Primary: the DEVICE program — one compiled sweep per batch runs the
+    # jitted AllScoresBESS window step over ALL windows via lax.map (the
+    # remote tunnel costs ~2 ms per dispatch, so per-window host calls
+    # would measure the link, not the device), materializing the full
+    # stacked score block on device exactly as the host-streaming path
+    # does per window; a scalar reduction fetched once per repeat is the
+    # sync point. Same primary/secondary split as the training lines and
+    # run_valid (device-resident vs host-pipeline).
+    import jax
+
     from besskge_tpu.bess import _FORWARD_KEYS
 
     fwd = pipe._fwd
@@ -698,17 +705,20 @@ def run_allscores(n_queries: int = 1024, repeats: int = 3) -> dict:
         {k: jnp.asarray(v) for k, v in b.items() if k in _FORWARD_KEYS}
         for b in bs.get_dataloader(shuffle=False)
     ]
-    steps = [jnp.asarray(i) for i in range(n_step)]
-    acc = fwd(jparams, batches[0], steps[0]).sum()
-    _ = float(acc)  # warm + sync
+
+    @jax.jit
+    def sweep(p, b):
+        return jax.lax.map(lambda i: fwd(p, b, i), jnp.arange(n_step))
+
+    tot = sweep(jparams, batches[0]).sum()
+    _ = float(tot)  # warm + sync
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         tot = None
         for b in batches:
-            for i in steps:
-                c = fwd(jparams, b, i).sum()
-                tot = c if tot is None else tot + c
+            c = sweep(jparams, b).sum()
+            tot = c if tot is None else tot + c
         assert np.isfinite(float(tot))  # fetch = sync
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
