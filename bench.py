@@ -317,20 +317,34 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     # discontiguous 512B fragments under (8,128) tiling), while (2,128)
     # pair slices at even offsets are tile-contiguous.
     #
-    # Packed 16-bit tables keep their own layout (two halfwords per 32-bit
-    # word, besskge_tpu.packed) — interleave_momentum requires a plain fp32
-    # table and raises otherwise (optim.py guard; BENCH_r04 shipped with
-    # this unconditionally True and crashed the bf16/fp16 configs).
-    interleave = not (bf16_table or fp16_table)
+    # Packed 16-bit tables interleave into the TRIPLET-major (3P, D) store
+    # (besskge_tpu.packed.interleave_packed_momentum, round 5): per packed
+    # row the block [packed param pair | fp32 momentum 2p | momentum 2p+1]
+    # is written back with ONE (3, D) scatter DMA — the separate-buffer
+    # path issues one packed-param DMA per packed row PLUS one fp32
+    # momentum DMA per touched logical row. (BENCH_r04 shipped the fp32
+    # pair-interleave unconditionally True and crashed these configs; the
+    # packed layouts now have their own interleave, smoke-tested in
+    # tests/test_bench_smoke.py, parity-tested in
+    # tests/test_packed_interleaved.py.) BENCH_INTERLEAVE=0 A/Bs the
+    # separate-buffer layouts.
+    interleave = os.environ.get("BENCH_INTERLEAVE", "1") == "1"
     row = RowSGDM(learning_rate=1e-3, momentum=0.9, interleaved=interleave)
     params = score_fn.initial_params_device()
     if interleave:
-        from besskge_tpu.optim import interleave_momentum
-
         params = dict(params)
-        params["entity_embedding"] = interleave_momentum(
-            params["entity_embedding"]
-        )
+        if bf16_table or fp16_table:
+            from besskge_tpu.packed import interleave_packed_momentum
+
+            params["entity_embedding"] = interleave_packed_momentum(
+                params["entity_embedding"]
+            )
+        else:
+            from besskge_tpu.optim import interleave_momentum
+
+            params["entity_embedding"] = interleave_momentum(
+                params["entity_embedding"]
+            )
     opt_state = init_optimizer_state(
         opt, params, None, row,
         n_logical=sharding.n_shard * sharding.max_entity_per_shard,

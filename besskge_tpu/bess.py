@@ -58,6 +58,7 @@ from besskge_tpu.scoring import (
 )
 from besskge_tpu.packed import is_packed as pk_is_packed
 from besskge_tpu.packed import is_paired as pk_is_paired
+from besskge_tpu.packed import is_tripled as pk_is_tripled
 from besskge_tpu.packed import take_contiguous_rows, take_rows
 
 
@@ -846,9 +847,12 @@ class TopKQueryBessKGE:
         t_flat = table[0] if table.ndim == 3 else table
         packed_tab = pk_is_packed(t_flat)
         # logical row cap: packed tables back 2 logical rows per physical
-        # row; pair-major interleaved tables (optimizer state interleaved,
+        # row (2/3 per row for the triplet-major interleaved store);
+        # pair-major interleaved tables (optimizer state interleaved,
         # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
-        if packed_tab:
+        if pk_is_tripled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = 2 * (t_flat.shape[0] // 3)
+        elif packed_tab:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
             row_cap = t_flat.shape[0] // 2
@@ -1121,9 +1125,12 @@ class AllScoresBESS:
         t_flat = table[0] if table.ndim == 3 else table
         packed_tab = pk_is_packed(t_flat)
         # logical row cap: packed tables back 2 logical rows per physical
-        # row; pair-major interleaved tables (optimizer state interleaved,
+        # row (2/3 per row for the triplet-major interleaved store);
+        # pair-major interleaved tables (optimizer state interleaved,
         # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
-        if packed_tab:
+        if pk_is_tripled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = 2 * (t_flat.shape[0] // 3)
+        elif packed_tab:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
             row_cap = t_flat.shape[0] // 2

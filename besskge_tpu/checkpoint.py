@@ -106,10 +106,22 @@ def save_checkpoint(
     path = Path(path)
     if interleaved_entity:
         wide = np.asarray(params["entity_embedding"])
-        two_n, d = wide.shape[-2], wide.shape[-1]
-        pairs = wide.reshape(*wide.shape[:-2], two_n // 2, 2, d)
-        p_half = np.ascontiguousarray(pairs[..., 0, :])
-        m_half = np.ascontiguousarray(pairs[..., 1, :])
+        d = wide.shape[-1]
+        if np.issubdtype(wide.dtype, np.integer):
+            # triplet-major packed store (packed.is_tripled): file keeps
+            # the plain (P, D) packed table + logical-major fp32 momentum
+            # — byte-compatible with a non-interleaved packed run
+            three_p = wide.shape[-2]
+            trip = wide.reshape(*wide.shape[:-2], three_p // 3, 3, d)
+            p_half = np.ascontiguousarray(trip[..., 0, :])
+            m_half = np.ascontiguousarray(
+                trip[..., 1:, :].reshape(*wide.shape[:-2], -1, d)
+            ).view(np.uint32).view(np.float32)
+        else:
+            two_n = wide.shape[-2]
+            pairs = wide.reshape(*wide.shape[:-2], two_n // 2, 2, d)
+            p_half = np.ascontiguousarray(pairs[..., 0, :])
+            m_half = np.ascontiguousarray(pairs[..., 1, :])
         params = dict(params, entity_embedding=p_half)
         if opt_state is not None and isinstance(opt_state, dict):
             ent = dict(opt_state.get("entity", {}))
@@ -251,17 +263,39 @@ def load_checkpoint(
             ent = dict(opt_state["entity"])
             mom = ent.pop("m", None)
             opt_state = dict(opt_state, entity=ent)
-        if mom is None:
-            mom = np.zeros_like(tab)
-        stacked = np.stack(
-            [tab, np.asarray(mom).astype(tab.dtype)], axis=-2
-        )  # (..., N, 2, D) -> pair-major (..., 2N, D)
-        params = dict(
-            params,
-            entity_embedding=stacked.reshape(
-                *tab.shape[:-2], 2 * tab.shape[-2], tab.shape[-1]
-            ),
-        )
+        if np.issubdtype(tab.dtype, np.integer):
+            # rebuild the triplet-major packed store from the plain packed
+            # table + logical-major fp32 momentum (zeros when absent)
+            p_cnt, d = tab.shape[-2], tab.shape[-1]
+            if mom is None:
+                mbits = np.zeros((*tab.shape[:-2], 2 * p_cnt, d), tab.dtype)
+            else:
+                mbits = (
+                    np.ascontiguousarray(np.asarray(mom, np.float32))
+                    .view(np.uint32)
+                    .view(tab.dtype)
+                )
+            stacked = np.stack(
+                [tab, mbits[..., 0::2, :], mbits[..., 1::2, :]], axis=-2
+            )  # (..., P, 3, D) -> triplet-major (..., 3P, D)
+            params = dict(
+                params,
+                entity_embedding=stacked.reshape(
+                    *tab.shape[:-2], 3 * p_cnt, d
+                ),
+            )
+        else:
+            if mom is None:
+                mom = np.zeros_like(tab)
+            stacked = np.stack(
+                [tab, np.asarray(mom).astype(tab.dtype)], axis=-2
+            )  # (..., N, 2, D) -> pair-major (..., 2N, D)
+            params = dict(
+                params,
+                entity_embedding=stacked.reshape(
+                    *tab.shape[:-2], 2 * tab.shape[-2], tab.shape[-1]
+                ),
+            )
 
     return params, opt_state, sharding, meta
 

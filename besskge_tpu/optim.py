@@ -264,6 +264,22 @@ def _apply_row_pairs(
     ``sorted_dedup``: ``phys`` is sorted; duplicate slots are never written
     (their pair content may be arbitrary — the gather-redirect contract of
     :meth:`RowSGDM._update_rows_interleaved`)."""
+    return _apply_row_slices(table, phys, pair_rows, 2, sorted_dedup)
+
+
+def _apply_row_slices(
+    table: jnp.ndarray,
+    phys: jnp.ndarray,
+    rows: jnp.ndarray,
+    h: int,
+    sorted_dedup: bool = False,
+) -> jnp.ndarray:
+    """Duplicate-safe ``(h, D)`` block writes at physical rows ``phys`` —
+    one DMA per block on TPU (``h=2``: pair-major interleaved momentum;
+    ``h=3``: triplet-major packed store). ``rows`` is ``(h·R, D)`` stacked
+    slices. The XLA fallback writes EVERY slot, so under ``sorted_dedup``
+    duplicate slots' content must still be byte-identical there (both
+    callers' merges guarantee it)."""
     if (
         jax.default_backend() == "tpu"
         and table.shape[-1] % 128 == 0
@@ -272,12 +288,12 @@ def _apply_row_pairs(
         from besskge_tpu.ops.pallas_scatter import scatter_rows
 
         return scatter_rows(
-            table, phys, pair_rows, slice_rows=2, skip_dups=sorted_dedup
+            table, phys, rows, slice_rows=h, skip_dups=sorted_dedup
         )
-    flat_idx = (phys[:, None] + jnp.arange(2, dtype=phys.dtype)).reshape(-1)
+    flat_idx = (phys[:, None] + jnp.arange(h, dtype=phys.dtype)).reshape(-1)
     if table.ndim == 3:
-        return table.at[0, flat_idx].set(pair_rows.astype(table.dtype))
-    return table.at[flat_idx].set(pair_rows.astype(table.dtype))
+        return table.at[0, flat_idx].set(rows.astype(table.dtype))
+    return table.at[flat_idx].set(rows.astype(table.dtype))
 
 
 def _read_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -488,12 +504,33 @@ class RowSGDM(EntityRowOptimizer):
 
     def init(self, table, n_logical=None):
         if self.interleaved:
+            from besskge_tpu.packed import is_packed
+
             t = _flat(table)
             if self.momentum == 0.0:
                 raise ValueError("interleaved=True requires momentum != 0")
+            if is_packed(t):
+                # triplet-major packed store (see packed.is_tripled):
+                # [packed param pair | fp32 momentum 2p | momentum 2p+1]
+                if n_logical is not None and t.shape[0] != 3 * (
+                    (n_logical + 1) // 2
+                ):
+                    raise ValueError(
+                        f"interleaved packed table must be "
+                        f"(3·ceil({n_logical}/2), D) — got {tuple(t.shape)};"
+                        f" widen it with interleave_packed_momentum()"
+                    )
+                if t.shape[0] % 3:
+                    raise ValueError(
+                        "interleaved packed table must be triplet-major "
+                        "(3P, D) — widen it with "
+                        "interleave_packed_momentum()"
+                    )
+                return {"count": jnp.zeros((), jnp.int32)}
             if _is_16bit_table(table) or t.dtype.itemsize != 4:
                 raise ValueError(
-                    "interleaved momentum requires a plain fp32 table"
+                    "interleaved momentum requires a plain fp32 or a "
+                    "row-pair-packed table"
                 )
             # An even-N PLAIN table passes the parity check but would take
             # unguarded Pallas DMA writes at phys=2*idx up to 2N-2 rows
@@ -523,6 +560,12 @@ class RowSGDM(EntityRowOptimizer):
         duplicate-consistent because they are pure functions of the deduped
         gradient and the current row content, so the idempotent-scatter
         contract holds unchanged."""
+        from besskge_tpu.packed import is_packed
+
+        if is_packed(_flat(table)):
+            return self._update_rows_interleaved_packed(
+                table, state, idx, grad_rows
+            )
         idx, g = _dedup_row_grads(table, idx, grad_rows)
         d = grad_rows.shape[-1]
         t = _flat(table)
@@ -587,6 +630,51 @@ class RowSGDM(EntityRowOptimizer):
         new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
         new_table = _apply_row_pairs(table, phys, new_pairs, sorted_dedup=on_tpu)
         return new_table, {"count": state["count"] + 1}
+
+    def _update_rows_interleaved_packed(self, table, state, idx, grad_rows):
+        """Triplet-store variant (see :func:`besskge_tpu.packed.is_tripled`):
+        the packed param pair AND both logical rows' fp32 momenta live in
+        one contiguous (3, D) block, written back with ONE scatter DMA per
+        touched packed row — the non-interleaved packed path issues one
+        packed-param DMA plus one fp32 momentum DMA per touched LOGICAL
+        row (~3x the issue work at BESS batch shapes; the scatter is
+        scalar-core issue-bound, BASELINE.md roofline). Update math is
+        identical to the non-interleaved path (same dedup, same momentum
+        rule, same stochastic rounding hash), so trajectories match
+        bit-for-bit — pinned in tests/test_packed_interleaved.py."""
+        from besskge_tpu.packed import (
+            half_dtype,
+            merge_packed_triplet_writes,
+            take_rows,
+        )
+
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
+        t = _flat(table)
+        p = (idx >> 1).astype(jnp.int32)
+        odd = (idx & 1).astype(jnp.int32)
+        # current params: triplet-aware plane select at physical row 3p
+        p_rows = take_rows(t, idx, tripled=True).astype(jnp.float32)
+        # current momentum: fp32 bits at physical row 3p + 1 + parity
+        m_prev = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                jnp.take(t, 3 * p + 1 + odd, axis=0), jnp.uint32
+            ),
+            jnp.float32,
+        )
+        if self.weight_decay:
+            g = g + self.weight_decay * p_rows
+        lr = _lr_at(self.learning_rate, state["count"])
+        m_rows = self.momentum * m_prev + g
+        new_rows = p_rows - lr * m_rows
+        new_state = {"count": state["count"] + 1}
+        if self.stochastic_rounding:
+            new_rows = _sr_round_16(new_rows, idx, new_state["count"], table)
+        else:
+            # match the non-interleaved write dtype (merge casts to half)
+            new_rows = new_rows.astype(half_dtype(t))
+        phys, out = merge_packed_triplet_writes(table, idx, new_rows, m_rows)
+        new_table = _apply_row_slices(table, phys, out, 3, sorted_dedup=True)
+        return new_table, new_state
 
     def update_rows(self, table, state, idx, grad_rows):
         if self.interleaved:

@@ -56,6 +56,7 @@ import numpy as np
 __all__ = [
     "is_packed",
     "is_paired",
+    "is_tripled",
     "half_dtype",
     "pack_table",
     "unpack_table",
@@ -65,6 +66,9 @@ __all__ = [
     "take_contiguous_rows",
     "logical_rows",
     "merge_packed_row_writes",
+    "merge_packed_triplet_writes",
+    "interleave_packed_momentum",
+    "split_packed_interleaved",
 ]
 
 _LO = jnp.uint32(0x0000FFFF)
@@ -99,7 +103,8 @@ def _store_dtype(half) -> Any:
 def logical_rows(table: jnp.ndarray, n_logical: int) -> int:
     """Validate and return the logical row count backed by ``table``."""
     if is_packed(table):
-        assert table.shape[0] == (n_logical + 1) // 2
+        p = (n_logical + 1) // 2
+        assert table.shape[0] in (p, 3 * p)  # plain or triplet-major store
     return n_logical
 
 
@@ -208,6 +213,97 @@ def is_paired(table: jnp.ndarray, n_logical: int | None) -> bool:
     )
 
 
+def is_tripled(table: jnp.ndarray, n_logical: int | None) -> bool:
+    """True when ``table`` is a triplet-major packed store
+    ``(3·ceil(n_logical/2), D)`` holding, per packed row ``p``,
+
+        ``[packed 16-bit param pair | fp32 momentum row 2p | momentum 2p+1]``
+
+    (momentum rows are fp32 bit patterns in the 32-bit storage dtype) — the
+    storage layout of :class:`besskge_tpu.optim.RowSGDM`
+    ``interleaved=True`` on a packed table. A touched packed row's params
+    AND both its logical rows' momenta then live in one contiguous
+    (3, D) block, so the sparse update writes all three with ONE scatter
+    DMA instead of three (the scatter is scalar-core issue-bound).
+
+    Detection is by the STATIC row count, same contract as
+    :func:`is_paired`: a plain packed table has exactly
+    ``ceil(n_logical/2)`` rows, so ``3·ceil(n_logical/2)`` is unambiguous
+    for the exact shard passed. Callers that know the layout out-of-band
+    should pass ``tripled=`` to :func:`take_rows` /
+    :func:`take_contiguous_rows`.
+    """
+    t = _flat(table)
+    return (
+        n_logical is not None
+        and is_packed(t)
+        and t.shape[0] == 3 * ((n_logical + 1) // 2)
+        # a degenerate shard could make ceil(N/2) == 3*ceil(N/2) only at
+        # N == 0, which no real table has
+        and n_logical > 0
+    )
+
+
+def interleave_packed_momentum(
+    packed: jnp.ndarray, momentum: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Widen a packed ``(P, D)`` table into the triplet-major
+    ``(3P, D)`` store of :func:`is_tripled`, interleaving an fp32
+    logical-major ``(2P, D)`` momentum buffer (zeros when ``None``).
+    Leading unit (device) axes are preserved. The transient ``(P, 3, D)``
+    stack pads sublanes 3 → 8 — a construction/checkpoint-time op, never
+    in the train step."""
+    t = _flat(packed)
+    if not is_packed(t):
+        raise ValueError(
+            "interleave_packed_momentum requires a row-pair-packed table; "
+            "plain fp32 tables use optim.interleave_momentum"
+        )
+    p, d = t.shape
+    if momentum is None:
+        mbits = jnp.zeros((2 * p, d), t.dtype)
+    else:
+        if momentum.shape != (2 * p, d):
+            raise ValueError(
+                f"momentum must be logical-major (2·{p}, {d}) fp32 — got "
+                f"{tuple(momentum.shape)}"
+            )
+        mbits = jax.lax.bitcast_convert_type(
+            momentum.astype(jnp.float32), jnp.uint32
+        ).astype(t.dtype)
+    trip = jnp.stack([t, mbits[0::2], mbits[1::2]], axis=1).reshape(3 * p, d)
+    return trip[None] if packed.ndim == 3 else trip
+
+
+def split_packed_interleaved(
+    table: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`interleave_packed_momentum`:
+    ``(3P, D) → ((P, D) packed params, (2P, D) fp32 momentum)`` — the
+    momentum in the logical-major shape of a NON-interleaved run's
+    ``state["m"]``, so checkpoints stay byte-compatible across the two
+    layouts. Use before standalone evaluation as well (eval over a tripled
+    table works — reads are triplet-aware — but contiguous window slices
+    read 3x the bytes)."""
+    t = _flat(table)
+    if not is_packed(t) or t.shape[0] % 3:
+        raise ValueError(
+            f"expected a triplet-major packed (3P, D) store; got "
+            f"{t.dtype} {tuple(t.shape)}"
+        )
+    trip = t.reshape(t.shape[0] // 3, 3, t.shape[-1])
+    packed = trip[:, 0]
+    mom = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(
+            trip[:, 1:].reshape(-1, t.shape[-1]), jnp.uint32
+        ),
+        jnp.float32,
+    )
+    if table.ndim == 3:
+        return packed[None], mom
+    return packed, mom
+
+
 def _resolve_paired(t, n_logical, paired):
     """Explicit ``paired`` override with shape validation, else inference."""
     if paired is None:
@@ -221,9 +317,22 @@ def _resolve_paired(t, n_logical, paired):
     return paired
 
 
+def _resolve_tripled(t, n_logical, tripled):
+    """Explicit ``tripled`` override with shape validation, else inference."""
+    if tripled is None:
+        return is_tripled(t, n_logical)
+    if tripled and (not is_packed(t) or t.shape[0] % 3):
+        raise ValueError(
+            f"tripled=True requires a triplet-major packed (3P, D) store; "
+            f"got {t.dtype} {tuple(t.shape)}"
+        )
+    return tripled
+
+
 def take_rows(
     table: jnp.ndarray, idx: jnp.ndarray, n_logical: int | None = None,
     paired: bool | None = None,
+    tripled: bool | None = None,
 ) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
     tables and a gather + elementwise plane-select for packed ones.
@@ -255,10 +364,14 @@ def take_rows(
 
     paired = _resolve_paired(t, n_logical, paired)
     if not is_packed(t):
+        if tripled:
+            _resolve_tripled(t, n_logical, tripled)  # raises: not packed
         if paired:
             return row_take(t, 2 * idx)
         return row_take(t, idx)
-    pair = row_take(t, idx >> 1)  # (…, D) 32-bit = both planes
+    tripled = _resolve_tripled(t, n_logical, tripled)
+    stride = 3 if tripled else 1
+    pair = row_take(t, stride * (idx >> 1))  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     odd = (idx & 1).astype(bool)[..., None]
     return _from_bits16(jnp.where(odd, u >> 16, u & _LO), half_dtype(t))
@@ -268,6 +381,7 @@ def take_contiguous_rows(
     table: jnp.ndarray, start: jnp.ndarray, w: int,
     n_logical: int | None = None,
     paired: bool | None = None,
+    tripled: bool | None = None,
 ) -> jnp.ndarray:
     """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
 
@@ -284,11 +398,23 @@ def take_contiguous_rows(
     t = _flat(table)
     paired = _resolve_paired(t, n_logical, paired)
     if not is_packed(t):
+        if tripled:
+            _resolve_tripled(t, n_logical, tripled)  # raises: not packed
         if paired:
             pair = jax.lax.dynamic_slice_in_dim(t, 2 * start, 2 * w, axis=0)
             return pair.reshape(w, 2, -1)[:, 0]
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
-    pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
+    tripled = _resolve_tripled(t, n_logical, tripled)
+    if tripled:
+        # one (3·w/2, D) slice; momentum rows are discarded on-core — it
+        # reads 3x the bytes, so standalone evaluation should split the
+        # table first (:func:`split_packed_interleaved`)
+        trip = jax.lax.dynamic_slice_in_dim(
+            t, 3 * (start >> 1), 3 * (w // 2), axis=0
+        )
+        pair = trip.reshape(w // 2, 3, -1)[:, 0]
+    else:
+        pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
     half = half_dtype(t)
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     even = _from_bits16(u & _LO, half)
@@ -366,6 +492,7 @@ def merge_packed_row_writes(
         return p, jax.lax.bitcast_convert_type(merged, t.dtype)
 
     # Each occurrence's owned plane (elementwise; the other plane is zero).
+    # (general unsorted path continues below)
     # The write mask is UNIFORM across a row's lanes in the planar layout —
     # a per-row scalar, so the segmented reduction below scans (R, D) words
     # plus an (R,) mask, not two (R, D) arrays. Row gathers (not scan
@@ -405,3 +532,85 @@ def merge_packed_row_writes(
     cur = jax.lax.bitcast_convert_type(jnp.take(t, sp, axis=0), jnp.uint32)
     merged = (tot_v & tot_m) | (cur & ~tot_m)
     return sp, jax.lax.bitcast_convert_type(merged, t.dtype)
+
+
+def merge_packed_triplet_writes(
+    store: jnp.ndarray,
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    mom_rows: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Turn logical-row (param, momentum) writes into duplicate-safe
+    (3, D)-block writes on a triplet-major store (see :func:`is_tripled`).
+
+    :param store: the ``(3P, D)`` triplet store (optionally with a leading
+        unit device axis), read for the planes/rows nobody writes.
+    :param idx: (R,) logical row indices, SORTED ascending with
+        duplicate-identical ``rows``/``mom_rows`` content (the
+        :func:`besskge_tpu.optim._dedup_row_grads` contract — the triplet
+        path is only reachable from the sorted sparse update).
+    :param rows: (R, D) new logical param rows (cast to the 16-bit half
+        dtype of the store).
+    :param mom_rows: (R, D) new fp32 momentum rows for the same logical
+        indices.
+    :return: ``(phys, out_rows)`` — (R,) int32 physical block starts
+        (``3·(idx>>1)``, sorted, duplicates = equal runs) and (3R, D)
+        storage-dtype rows where slot ``i`` carries the block
+        ``[merged packed params | momentum row 2p | momentum row 2p+1]``,
+        byte-identical across occurrences of one packed row — ready for
+        ``scatter_rows(..., slice_rows=3, skip_dups=True)``.
+
+    The sibling resolution reuses the sorted-adjacency argument of
+    :func:`merge_packed_row_writes`: a logical row's sibling run — if
+    written at all — is exactly the adjacent run, so one vectorized
+    boundary pass locates it for both the param plane AND the sibling's
+    momentum row; absent siblings keep the store's current bytes.
+    """
+    t = _flat(store)
+    half = half_dtype(t)
+    p = (idx >> 1).astype(jnp.int32)
+    odd = (idx & 1).astype(bool)
+    r = idx.shape[0]
+    d = rows.shape[-1]
+
+    bits = _bits16(rows, half)  # (R, D) uint32, low halfword
+    placed = jnp.where(odd[:, None], bits << 16, bits)
+    mbits = jax.lax.bitcast_convert_type(
+        mom_rows.astype(jnp.float32), jnp.uint32
+    )
+
+    iota = jnp.arange(r, dtype=jnp.int32)
+    starts = jnp.concatenate([jnp.ones((1,), bool), idx[1:] != idx[:-1]])
+    ends = jnp.concatenate([idx[1:] != idx[:-1], jnp.ones((1,), bool)])
+    left = jax.lax.cummax(jnp.where(starts, iota, -1))  # run start pos
+    last = jax.lax.cummin(jnp.where(ends, iota, r), reverse=True)  # run end
+    sib_pos = jnp.where(odd, left - 1, last + 1)
+    in_range = (sib_pos >= 0) & (sib_pos < r)
+    sib_pos_c = jnp.clip(sib_pos, 0, r - 1)
+    sibling = jnp.where(odd, idx - 1, idx + 1)
+    present = in_range & (jnp.take(idx, sib_pos_c) == sibling)
+
+    # --- packed param word: own plane | sibling's plane or current bytes
+    sib_placed = jnp.take(placed, sib_pos_c, axis=0)
+    cur = jax.lax.bitcast_convert_type(
+        jnp.take(t, 3 * p, axis=0), jnp.uint32
+    )
+    other_mask = jnp.where(odd, _LO, _HI)[:, None]  # sibling's plane
+    other = jnp.where(present[:, None], sib_placed, cur & other_mask)
+    merged = placed | other
+
+    # --- momentum rows: own new value; sibling's new value when written,
+    # else its current row from the store (3p+1 even slot, 3p+2 odd slot)
+    sib_m = jnp.take(mbits, sib_pos_c, axis=0)
+    cur_m_sib = jax.lax.bitcast_convert_type(
+        jnp.take(
+            t, 3 * p + 1 + jnp.where(odd, 0, 1).astype(jnp.int32), axis=0
+        ),
+        jnp.uint32,
+    )
+    m_sib = jnp.where(present[:, None], sib_m, cur_m_sib)
+    m_even = jnp.where(odd[:, None], m_sib, mbits)
+    m_odd = jnp.where(odd[:, None], mbits, m_sib)
+
+    out = jnp.stack([merged, m_even, m_odd], axis=1).reshape(3 * r, d)
+    return 3 * p, jax.lax.bitcast_convert_type(out, t.dtype)

@@ -514,12 +514,27 @@ class Trainer:
             entity_optimizer, "interleaved", False
         ):
             from besskge_tpu.optim import interleave_momentum
+            from besskge_tpu.packed import interleave_packed_momentum
 
             tab = jnp.asarray(raw["entity_embedding"])
             n_global = (
                 bess.sharding.n_shard * bess.sharding.max_entity_per_shard
             )
-            if tab.shape[-2] == n_global:
+            if is_packed(tab):
+                # packed tables widen to the triplet-major (3P, D) store
+                p_global = (n_global + 1) // 2
+                if tab.shape[-2] == p_global:
+                    raw = dict(raw)
+                    raw["entity_embedding"] = interleave_packed_momentum(tab)
+                elif tab.shape[-2] != 3 * p_global:
+                    raise ValueError(
+                        f"packed entity table has {tab.shape[-2]} rows; "
+                        f"expected {p_global} (plain packed, to be widened)"
+                        f" or {3 * p_global} (already triplet-interleaved) "
+                        f"for this sharding — re-shard the checkpoint "
+                        f"before constructing the Trainer"
+                    )
+            elif tab.shape[-2] == n_global:
                 # pair-interleave [params] -> [param row | zero momentum
                 # row]; a resumed table that is already (2N, D) pair-major
                 # passes through unchanged
