@@ -290,7 +290,10 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     )
     # fp16-compute parity with the reference notebook: bf16 scoring math
     # over fp32-stored tables (2x VPU width; fp32 loss/update unchanged).
-    score_fn.compute_dtype = jnp.bfloat16
+    # BENCH_COMPUTE_DTYPE=fp32 A/Bs full-fp32 scoring math
+    # (benchmarks/exp_compute_dtype.py).
+    if os.environ.get("BENCH_COMPUTE_DTYPE", "bf16") != "fp32":
+        score_fn.compute_dtype = jnp.bfloat16
     if bf16_table or fp16_table:
         # Full storage parity with the reference fp16 recipe: the entity
         # table itself in 16-bit (row-pair-packed 32-bit words — half the

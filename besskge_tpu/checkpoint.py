@@ -223,10 +223,46 @@ def load_checkpoint(
                 "Checkpoint has no sharding metadata; cannot re-shard"
             )
         table_shape = params["entity_embedding"].shape
+        packed_tab = np.issubdtype(
+            params["entity_embedding"].dtype, np.integer
+        )
+        # Packed stores hold 2 logical rows per physical row; their fp32
+        # moment buffers are LOGICAL-major (2·P, D), so both shapes must
+        # reshard (each through its own path).
+        logical_shape = (
+            (2 * table_shape[-2], table_shape[-1]) if packed_tab else None
+        )
 
         def reshard(x: np.ndarray) -> np.ndarray:
             # Params store the table 2-D (n_shard * max_ent, row); go through
             # the 3-D view for the permutation.
+            if np.issubdtype(x.dtype, np.integer):
+                # Row-pair-packed storage: the float32 permutation below
+                # would corrupt raw 32-bit words (> 2^24 doesn't survive
+                # the astype) and the packed height breaks the per-shard
+                # index maps. Unpack to logical 16-bit rows (pairs never
+                # cross shard boundaries: per-shard logical counts are
+                # even by the packing contract), permute exactly in fp32,
+                # re-pack under the new sharding.
+                from besskge_tpu.packed import (
+                    pack_table_host,
+                    unpack_table_host,
+                )
+
+                if new_sharding.max_entity_per_shard % 2:
+                    raise ValueError(
+                        "cannot re-shard a packed table onto a sharding "
+                        "with odd max_entity_per_shard "
+                        f"({new_sharding.max_entity_per_shard}); create "
+                        "the new Sharding with an even per-shard row count"
+                    )
+                logical = unpack_table_host(
+                    np.ascontiguousarray(x), 2 * x.shape[0]
+                )
+                out = reshard(logical.astype(np.float32))
+                return pack_table_host(
+                    np.ascontiguousarray(out).astype(logical.dtype)
+                )
             x3 = x.reshape(sharding.n_shard, -1, x.shape[-1]).astype(
                 np.float32
             )
@@ -243,9 +279,8 @@ def load_checkpoint(
                 return {k: reshard_tree(v) for k, v in node.items()}
             if isinstance(node, tuple):
                 return tuple(reshard_tree(v) for v in node)
-            if (
-                isinstance(node, np.ndarray)
-                and node.shape == table_shape
+            if isinstance(node, np.ndarray) and (
+                node.shape == table_shape or node.shape == logical_shape
             ):
                 return reshard(node)
             return node

@@ -309,3 +309,70 @@ def test_end_to_end_triplet_training_on_mesh_and_checkpoint(tmp_path):
         params_i["entity_embedding"], np.asarray(p_int["entity_embedding"])
     )
     assert "m" not in opt_i["entity"]
+
+
+def test_packed_checkpoint_reshard_roundtrip(tmp_path):
+    """Re-sharding a packed checkpoint must not push the raw 32-bit words
+    through the float32 permutation (bit patterns above 2^24 do not
+    survive the astype) — the packed store is unpacked to logical 16-bit
+    rows, permuted exactly, and re-packed under the new sharding; the
+    logical-major fp32 momentum buffer reshards alongside (it has 2x the
+    packed table's rows, so the shape matcher must catch both)."""
+    from besskge_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from besskge_tpu.sharding import Sharding
+
+    rng = np.random.default_rng(11)
+    n_entity, d = 61, 128
+    sh4 = Sharding.create(n_entity, 4, seed=1)
+    sh2 = Sharding.create(n_entity, 2, seed=2)
+    n_rows4 = 4 * sh4.max_entity_per_shard
+    for half_np in (np.float16, ml_dtypes.bfloat16):
+        tab16 = rng.normal(size=(n_rows4, d)).astype(half_np)
+        packed = pk.pack_table_host(tab16.astype(np.float32))
+        mom = rng.normal(size=(n_rows4, d)).astype(np.float32)
+        path = tmp_path / f"pk_{np.dtype(half_np).name}.npz"
+        save_checkpoint(
+            path, {"entity_embedding": packed},
+            opt_state={"entity": {"m": mom}}, sharding=sh4,
+        )
+        p2, o2, sh_out, _ = load_checkpoint(path, new_sharding=sh2)
+        out = p2["entity_embedding"]
+        assert out.dtype == packed.dtype
+        assert out.shape == (2 * sh2.max_entity_per_shard // 2, d)
+        # per-entity logical rows survive exactly
+        flat_old = pk.unpack_table_host(packed, n_rows4)[
+            sh4.entity_to_shard * sh4.max_entity_per_shard + sh4.entity_to_idx
+        ]
+        n_rows2 = 2 * sh2.max_entity_per_shard
+        flat_new = pk.unpack_table_host(np.ascontiguousarray(out), n_rows2)[
+            sh2.entity_to_shard * sh2.max_entity_per_shard + sh2.entity_to_idx
+        ]
+        np.testing.assert_array_equal(
+            flat_new[:n_entity], flat_old[:n_entity]
+        )
+        m_old = mom[
+            sh4.entity_to_shard * sh4.max_entity_per_shard + sh4.entity_to_idx
+        ]
+        m_new = o2["entity"]["m"][
+            sh2.entity_to_shard * sh2.max_entity_per_shard + sh2.entity_to_idx
+        ]
+        np.testing.assert_array_equal(m_new[:n_entity], m_old[:n_entity])
+        # and back to the original sharding: bit-exact round trip for
+        # every REAL entity (padding rows — IDs >= n_entity — are not
+        # preserved across reshards, by design)
+        path2 = tmp_path / "pk_back.npz"
+        save_checkpoint(
+            path2, {"entity_embedding": out},
+            opt_state={"entity": {"m": o2["entity"]["m"]}}, sharding=sh2,
+        )
+        p3, o3, _, _ = load_checkpoint(path2, new_sharding=sh4)
+        flat_back = pk.unpack_table_host(
+            np.ascontiguousarray(p3["entity_embedding"]), n_rows4
+        )[sh4.entity_to_shard * sh4.max_entity_per_shard + sh4.entity_to_idx]
+        np.testing.assert_array_equal(
+            flat_back[:n_entity], flat_old[:n_entity]
+        )
+        m_back = o3["entity"]["m"][
+            sh4.entity_to_shard * sh4.max_entity_per_shard + sh4.entity_to_idx
+        ]
+        np.testing.assert_array_equal(m_back[:n_entity], m_old[:n_entity])
