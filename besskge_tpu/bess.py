@@ -58,6 +58,7 @@ from besskge_tpu.scoring import (
 )
 from besskge_tpu.packed import is_packed as pk_is_packed
 from besskge_tpu.packed import is_paired as pk_is_paired
+from besskge_tpu.packed import is_trebled as pk_is_trebled
 from besskge_tpu.packed import is_tripled as pk_is_tripled
 from besskge_tpu.packed import take_contiguous_rows, take_rows
 
@@ -856,6 +857,8 @@ class TopKQueryBessKGE:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
             row_cap = t_flat.shape[0] // 2
+        elif pk_is_trebled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = t_flat.shape[0] // 3
         else:
             row_cap = t_flat.shape[0]
         contiguous = (
@@ -1134,6 +1137,8 @@ class AllScoresBESS:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
             row_cap = t_flat.shape[0] // 2
+        elif pk_is_trebled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = t_flat.shape[0] // 3
         else:
             row_cap = t_flat.shape[0]
         w = self.window_size

@@ -92,40 +92,58 @@ def save_checkpoint(
     sharding: Optional[Sharding] = None,
     step: int = 0,
     extra_meta: Optional[Dict[str, Any]] = None,
-    interleaved_entity: bool = False,
+    interleaved_entity: "bool | str" = False,
 ) -> None:
     """Write params (+ optimizer state + sharding) to one ``.npz`` file.
 
     ``interleaved_entity=True`` de-interleaves a ``[params | momentum]``
-    entity table (:class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``)
-    at the boundary: the file stores the plain ``(N, D)`` table under
+    entity table (:class:`besskge_tpu.optim.RowSGDM` ``interleaved=True``,
+    pair-major fp32 or triplet-major packed — distinguished by the storage
+    dtype) at the boundary: the file stores the plain table under
     ``params/entity_embedding`` and the momentum under ``opt/entity/m`` —
     byte-compatible with a checkpoint written by a NON-interleaved run, so
     the storage layout is a pure runtime choice.
+    ``interleaved_entity="adamw"`` de-interleaves the treble-major fp32
+    ``[param | mu | nu]`` store of :class:`besskge_tpu.optim.RowAdamW`
+    ``interleaved=True`` into ``opt/entity/mu`` and ``opt/entity/nu``.
     """
     path = Path(path)
     if interleaved_entity:
         wide = np.asarray(params["entity_embedding"])
         d = wide.shape[-1]
-        if np.issubdtype(wide.dtype, np.integer):
+        moments: Dict[str, np.ndarray]
+        if interleaved_entity == "adamw":
+            # treble-major fp32 [param | mu | nu] (optim.interleave_adamw):
+            # file keeps the plain table + opt/entity/{mu,nu} — byte-
+            # compatible with a non-interleaved RowAdamW run
+            three_n = wide.shape[-2]
+            trio = wide.reshape(*wide.shape[:-2], three_n // 3, 3, d)
+            p_half = np.ascontiguousarray(trio[..., 0, :])
+            moments = {
+                "mu": np.ascontiguousarray(trio[..., 1, :]),
+                "nu": np.ascontiguousarray(trio[..., 2, :]),
+            }
+        elif np.issubdtype(wide.dtype, np.integer):
             # triplet-major packed store (packed.is_tripled): file keeps
             # the plain (P, D) packed table + logical-major fp32 momentum
             # — byte-compatible with a non-interleaved packed run
             three_p = wide.shape[-2]
             trip = wide.reshape(*wide.shape[:-2], three_p // 3, 3, d)
             p_half = np.ascontiguousarray(trip[..., 0, :])
-            m_half = np.ascontiguousarray(
-                trip[..., 1:, :].reshape(*wide.shape[:-2], -1, d)
-            ).view(np.uint32).view(np.float32)
+            moments = {
+                "m": np.ascontiguousarray(
+                    trip[..., 1:, :].reshape(*wide.shape[:-2], -1, d)
+                ).view(np.uint32).view(np.float32)
+            }
         else:
             two_n = wide.shape[-2]
             pairs = wide.reshape(*wide.shape[:-2], two_n // 2, 2, d)
             p_half = np.ascontiguousarray(pairs[..., 0, :])
-            m_half = np.ascontiguousarray(pairs[..., 1, :])
+            moments = {"m": np.ascontiguousarray(pairs[..., 1, :])}
         params = dict(params, entity_embedding=p_half)
         if opt_state is not None and isinstance(opt_state, dict):
             ent = dict(opt_state.get("entity", {}))
-            ent["m"] = m_half
+            ent.update(moments)
             opt_state = dict(opt_state, entity=ent)
     arrays = {f"params{_SEP}{k}": v for k, v in _flatten(params).items()}
     if opt_state is not None:
@@ -166,7 +184,7 @@ def load_checkpoint(
     path: Path,
     new_sharding: Optional[Sharding] = None,
     like: Any = None,
-    interleave_entity: bool = False,
+    interleave_entity: "bool | str" = False,
 ) -> Tuple[Dict[str, Any], Any, Optional[Sharding], Dict[str, Any]]:
     """Load a checkpoint; optionally re-shard onto ``new_sharding``.
 
@@ -183,8 +201,11 @@ def load_checkpoint(
     ``interleave_entity=True`` rebuilds the ``[params | momentum]`` wide
     table for an interleaved :class:`besskge_tpu.optim.RowSGDM` run from
     the plain on-disk layout (``opt/entity/m`` is consumed; a checkpoint
-    with no momentum re-interleaves against zeros). Applied AFTER
-    re-sharding, so both halves permute consistently.
+    with no momentum re-interleaves against zeros); ``"adamw"`` rebuilds
+    the treble-major fp32 ``[param | mu | nu]`` store of an interleaved
+    :class:`besskge_tpu.optim.RowAdamW` run (``opt/entity/mu``/``nu``
+    consumed). Applied AFTER re-sharding, so all planes permute
+    consistently.
 
     :return: ``(params, opt_state, sharding, meta)``.
     """
@@ -289,7 +310,28 @@ def load_checkpoint(
             opt_state = reshard_tree(opt_state)
         sharding = new_sharding
 
-    if interleave_entity:
+    if interleave_entity == "adamw":
+        # rebuild the treble-major fp32 [param | mu | nu] store of an
+        # interleaved RowAdamW run (zeros for absent moments)
+        tab = np.asarray(params["entity_embedding"])
+        mu = nu = None
+        if isinstance(opt_state, dict) and isinstance(
+            opt_state.get("entity"), dict
+        ):
+            ent = dict(opt_state["entity"])
+            mu = ent.pop("mu", None)
+            nu = ent.pop("nu", None)
+            opt_state = dict(opt_state, entity=ent)
+        mu = np.zeros_like(tab) if mu is None else np.asarray(mu, tab.dtype)
+        nu = np.zeros_like(tab) if nu is None else np.asarray(nu, tab.dtype)
+        stacked = np.stack([tab, mu, nu], axis=-2)
+        params = dict(
+            params,
+            entity_embedding=stacked.reshape(
+                *tab.shape[:-2], 3 * tab.shape[-2], tab.shape[-1]
+            ),
+        )
+    elif interleave_entity:
         tab = np.asarray(params["entity_embedding"])
         mom = None
         if isinstance(opt_state, dict) and isinstance(

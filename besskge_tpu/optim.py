@@ -49,6 +49,8 @@ __all__ = [
     "EntityRowOptimizer",
     "interleave_momentum",
     "split_interleaved",
+    "interleave_adamw",
+    "split_interleaved_adamw",
 ]
 
 
@@ -344,6 +346,49 @@ def interleave_momentum(
     return paired[None] if table.ndim == 3 else paired
 
 
+def interleave_adamw(
+    table: jnp.ndarray,
+    mu: jnp.ndarray | None = None,
+    nu: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Interleave a plain fp32 ``(N, D)`` table with its Adam moments into
+    one treble-major ``(3N, D)`` buffer — param row ``i`` at physical row
+    ``3i``, first moment at ``3i+1``, second at ``3i+2`` — the storage
+    layout of :class:`RowAdamW` ``interleaved=True``. A touched row's
+    param and BOTH moments then move with one (3, D) block DMA instead of
+    three row DMAs (see :func:`interleave_momentum` for the measured
+    DMA-issue argument). Leading unit (device) axes are preserved."""
+    t = _flat(table)
+    if is_packed_table(t):
+        raise ValueError(
+            "interleaved Adam moments require a plain fp32 table (packed "
+            "tables are not supported for interleaved RowAdamW)"
+        )
+    m = jnp.zeros_like(t) if mu is None else mu.astype(t.dtype)
+    v = jnp.zeros_like(t) if nu is None else nu.astype(t.dtype)
+    n, d = t.shape
+    treb = jnp.stack([t, m, v], axis=1).reshape(3 * n, d)
+    return treb[None] if table.ndim == 3 else treb
+
+
+def split_interleaved_adamw(
+    table: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`interleave_adamw`: ``(3N, D) -> ((N, D) params,
+    (N, D) mu, (N, D) nu)``. Use at checkpoint-save and before standalone
+    evaluation."""
+    t = _flat(table)
+    if t.shape[0] % 3:
+        raise ValueError(
+            f"expected a treble-major (3N, D) table; got {tuple(t.shape)}"
+        )
+    trio = t.reshape(t.shape[0] // 3, 3, t.shape[-1])
+    p, m, v = trio[:, 0], trio[:, 1], trio[:, 2]
+    if table.ndim == 3:
+        return p[None], m, v
+    return p, m, v
+
+
 def split_interleaved(table: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inverse of :func:`interleave_momentum`: ``(2N, D) -> ((N, D) params,
     (N, D) momentum)``. Use at checkpoint-save and before standalone
@@ -368,6 +413,16 @@ class EntityRowOptimizer:
 
     #: True when optimizer state lives inside the widened param table
     interleaved: bool = False
+    #: which interleaved layout the checkpoint boundary should de/re-build
+    #: ("momentum" = pair/triplet momentum stores; "adamw" = treble mu/nu)
+    interleave_layout: str = "momentum"
+
+    def widen_table(self, table: jnp.ndarray) -> jnp.ndarray:
+        """Widen a plain table into this optimizer's interleaved storage
+        layout (identity for non-interleaved optimizers). The Trainer
+        calls this on construction for un-widened tables; ``init``
+        validates the widened height against the logical row count."""
+        return table
 
     def init(
         self, table: jnp.ndarray, n_logical: int | None = None
@@ -447,15 +502,80 @@ class RowAdamW(EntityRowOptimizer):
     weight_decay: float = 0.0
     #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
+    #: store both Adam moments interleaved with the params in one
+    #: treble-major (3N, D) fp32 buffer (see :func:`interleave_adamw`):
+    #: one (3, D) block DMA per touched row instead of three row DMAs.
+    #: fp32 tables only; the Trainer widens automatically and checkpoint
+    #: save/load de/re-interleaves (on-disk format unchanged).
+    interleaved: bool = False
+    interleave_layout: str = "adamw"
 
     def init(self, table, n_logical=None):
+        if self.interleaved:
+            t = _flat(table)
+            if _is_16bit_table(table) or t.dtype.itemsize != 4:
+                raise ValueError(
+                    "interleaved Adam moments require a plain fp32 table"
+                )
+            if n_logical is not None and t.shape[0] != 3 * n_logical:
+                raise ValueError(
+                    f"interleaved table must be (3*{n_logical}, D) — got "
+                    f"{tuple(t.shape)}; widen it with interleave_adamw()"
+                )
+            if t.shape[0] % 3:
+                raise ValueError(
+                    "interleaved table must be treble-major (3N, D) — "
+                    "widen it with interleave_adamw()"
+                )
+            return {"count": jnp.zeros((), jnp.int32)}
         return {
             "mu": jnp.zeros(_moment_shape(table), jnp.float32),
             "nu": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
 
+    def widen_table(self, table):
+        return interleave_adamw(table) if self.interleaved else table
+
+    def _update_rows_interleaved(self, table, state, idx, grad_rows):
+        """Treble-store variant: one flat gather reads each touched row's
+        [param | mu | nu] trio, one (3, D)-block scatter writes all three
+        back — identical arithmetic to the separate-buffer path (pinned
+        bit-exact in tests/test_adamw_interleaved.py)."""
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
+        d = grad_rows.shape[-1]
+        t = _flat(table)
+        phys = (3 * idx).astype(jnp.int32)
+        count = state["count"] + 1
+        flat_idx = (
+            phys[:, None] + jnp.arange(3, dtype=phys.dtype)
+        ).reshape(-1)
+        trios = jnp.take(t, flat_idx, axis=0).reshape(-1, 3, d)
+        p_rows, mu_prev, nu_prev = trios[:, 0], trios[:, 1], trios[:, 2]
+        mu_rows = self.b1 * mu_prev + (1 - self.b1) * g
+        nu_rows = self.b2 * nu_prev + (1 - self.b2) * (g * g)
+        tf = count.astype(jnp.float32)
+        mu_hat = mu_rows / (1 - self.b1**tf)
+        nu_hat = nu_rows / (1 - self.b2**tf)
+        upd = _lr_at(self.learning_rate, state["count"]) * (
+            mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+            + self.weight_decay * p_rows
+        )
+        new_p = p_rows - upd
+        new_trios = jnp.stack([new_p, mu_rows, nu_rows], axis=1).reshape(
+            -1, d
+        )
+        on_tpu = (
+            jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
+        )
+        new_table = _apply_row_slices(
+            table, phys, new_trios, 3, sorted_dedup=on_tpu
+        )
+        return new_table, {"count": count}
+
     def update_rows(self, table, state, idx, grad_rows):
+        if self.interleaved:
+            return self._update_rows_interleaved(table, state, idx, grad_rows)
         idx, g = _dedup_row_grads(table, idx, grad_rows)
         count = state["count"] + 1
         mu_rows = self.b1 * jnp.take(_flat(state["mu"]), idx, axis=0) + (1 - self.b1) * g
@@ -630,6 +750,18 @@ class RowSGDM(EntityRowOptimizer):
         new_pairs = jnp.stack([new_p, m_rows], axis=1).reshape(-1, d)
         new_table = _apply_row_pairs(table, phys, new_pairs, sorted_dedup=on_tpu)
         return new_table, {"count": state["count"] + 1}
+
+    def widen_table(self, table):
+        if not self.interleaved:
+            return table
+        from besskge_tpu.packed import (
+            interleave_packed_momentum,
+            is_packed,
+        )
+
+        if is_packed(_flat(table)):
+            return interleave_packed_momentum(table)
+        return interleave_momentum(table)
 
     def _update_rows_interleaved_packed(self, table, state, idx, grad_rows):
         """Triplet-store variant (see :func:`besskge_tpu.packed.is_tripled`):

@@ -56,6 +56,7 @@ import numpy as np
 __all__ = [
     "is_packed",
     "is_paired",
+    "is_trebled",
     "is_tripled",
     "half_dtype",
     "pack_table",
@@ -317,6 +318,36 @@ def _resolve_paired(t, n_logical, paired):
     return paired
 
 
+def _resolve_trebled(t, n_logical, trebled):
+    """Explicit ``trebled`` override with shape validation, else inference."""
+    if trebled is None:
+        return is_trebled(t, n_logical)
+    if trebled and (is_packed(t) or t.shape[0] % 3):
+        raise ValueError(
+            f"trebled=True requires a plain fp32 treble-major (3N, D) "
+            f"table; got {'packed' if is_packed(t) else 'bad-height'} "
+            f"{tuple(t.shape)}"
+        )
+    return trebled
+
+
+def is_trebled(table: jnp.ndarray, n_logical: int | None) -> bool:
+    """True when ``table`` is a treble-major fp32 ``(3·n_logical, D)``
+    buffer holding ``[param row 3i | Adam mu 3i+1 | Adam nu 3i+2]`` — the
+    storage layout of :class:`besskge_tpu.optim.RowAdamW`
+    ``interleaved=True``: a touched row's param AND both Adam moments move
+    with ONE (3, D) block DMA instead of three row DMAs (the sparse
+    scatter is scalar-core issue-bound). Same static-row-count detection
+    contract as :func:`is_paired`."""
+    t = _flat(table)
+    return (
+        n_logical is not None
+        and not is_packed(t)
+        and n_logical > 0
+        and t.shape[0] == 3 * n_logical
+    )
+
+
 def _resolve_tripled(t, n_logical, tripled):
     """Explicit ``tripled`` override with shape validation, else inference."""
     if tripled is None:
@@ -333,6 +364,7 @@ def take_rows(
     table: jnp.ndarray, idx: jnp.ndarray, n_logical: int | None = None,
     paired: bool | None = None,
     tripled: bool | None = None,
+    trebled: bool | None = None,
 ) -> jnp.ndarray:
     """Logical-row gather that is ``jnp.take(table, idx, axis=0)`` for plain
     tables and a gather + elementwise plane-select for packed ones.
@@ -368,6 +400,8 @@ def take_rows(
             _resolve_tripled(t, n_logical, tripled)  # raises: not packed
         if paired:
             return row_take(t, 2 * idx)
+        if _resolve_trebled(t, n_logical, trebled):
+            return row_take(t, 3 * idx)
         return row_take(t, idx)
     tripled = _resolve_tripled(t, n_logical, tripled)
     stride = 3 if tripled else 1
@@ -382,6 +416,7 @@ def take_contiguous_rows(
     n_logical: int | None = None,
     paired: bool | None = None,
     tripled: bool | None = None,
+    trebled: bool | None = None,
 ) -> jnp.ndarray:
     """Rows ``[start, start + w)`` of a (possibly packed) table as ``(w, D)``.
 
@@ -403,6 +438,9 @@ def take_contiguous_rows(
         if paired:
             pair = jax.lax.dynamic_slice_in_dim(t, 2 * start, 2 * w, axis=0)
             return pair.reshape(w, 2, -1)[:, 0]
+        if _resolve_trebled(t, n_logical, trebled):
+            treb = jax.lax.dynamic_slice_in_dim(t, 3 * start, 3 * w, axis=0)
+            return treb.reshape(w, 3, -1)[:, 0]
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
     tripled = _resolve_tripled(t, n_logical, tripled)
     if tripled:

@@ -513,44 +513,35 @@ class Trainer:
         if entity_optimizer is not None and getattr(
             entity_optimizer, "interleaved", False
         ):
-            from besskge_tpu.optim import interleave_momentum
-            from besskge_tpu.packed import interleave_packed_momentum
-
             tab = jnp.asarray(raw["entity_embedding"])
             n_global = (
                 bess.sharding.n_shard * bess.sharding.max_entity_per_shard
             )
-            if is_packed(tab):
-                # packed tables widen to the triplet-major (3P, D) store
-                p_global = (n_global + 1) // 2
-                if tab.shape[-2] == p_global:
-                    raw = dict(raw)
-                    raw["entity_embedding"] = interleave_packed_momentum(tab)
-                elif tab.shape[-2] != 3 * p_global:
-                    raise ValueError(
-                        f"packed entity table has {tab.shape[-2]} rows; "
-                        f"expected {p_global} (plain packed, to be widened)"
-                        f" or {3 * p_global} (already triplet-interleaved) "
-                        f"for this sharding — re-shard the checkpoint "
-                        f"before constructing the Trainer"
-                    )
-            elif tab.shape[-2] == n_global:
-                # pair-interleave [params] -> [param row | zero momentum
-                # row]; a resumed table that is already (2N, D) pair-major
-                # passes through unchanged
+            plain_h = (n_global + 1) // 2 if is_packed(tab) else n_global
+            # The optimizer owns its interleaved layout: ask it (via an
+            # abstract trace) what height a widened plain table would have,
+            # then widen a plain table / pass a pre-widened one through /
+            # fail clearly on anything else (e.g. params saved from a
+            # differently-sharded run fed in without re-sharding — which
+            # would otherwise surface later as an opaque init() shape
+            # error or a wrong layout inference).
+            wide_h = jax.eval_shape(
+                entity_optimizer.widen_table,
+                jax.ShapeDtypeStruct(
+                    (plain_h, tab.shape[-1]), tab.dtype
+                ),
+            ).shape[-2]
+            if tab.shape[-2] == plain_h:
                 raw = dict(raw)
-                raw["entity_embedding"] = interleave_momentum(tab)
-            elif tab.shape[-2] != 2 * n_global:
-                # Anything else (e.g. params saved from a differently
-                # sharded run fed in without re-sharding) would otherwise
-                # surface later as an opaque init() shape error or a wrong
-                # is_paired decision — fail clearly at construction.
+                raw["entity_embedding"] = entity_optimizer.widen_table(tab)
+            elif tab.shape[-2] != wide_h:
                 raise ValueError(
                     f"entity table has {tab.shape[-2]} rows; expected "
-                    f"{n_global} (plain, to be widened) or {2 * n_global} "
-                    f"(already pair-interleaved) for this sharding — "
-                    f"re-shard the checkpoint (checkpoint.load with the "
-                    f"current Sharding) before constructing the Trainer"
+                    f"{plain_h} (plain, to be widened) or {wide_h} "
+                    f"(already interleaved for "
+                    f"{type(entity_optimizer).__name__}) for this sharding"
+                    f" — re-shard the checkpoint (checkpoint.load with the"
+                    f" current Sharding) before constructing the Trainer"
                 )
         if mesh is not None:
             from besskge_tpu.parallel.mesh import shard_params
@@ -740,8 +731,17 @@ class Trainer:
             opt_state=self.opt_state,
             sharding=self.bess.sharding,
             step=step,
-            interleaved_entity=bool(
-                getattr(self.entity_optimizer, "interleaved", False)
+            interleaved_entity=(
+                getattr(self.entity_optimizer, "interleave_layout", "")
+                if (
+                    getattr(self.entity_optimizer, "interleaved", False)
+                    and getattr(
+                        self.entity_optimizer, "interleave_layout", ""
+                    ) == "adamw"
+                )
+                else bool(
+                    getattr(self.entity_optimizer, "interleaved", False)
+                )
             ),
         )
 
