@@ -7,7 +7,8 @@ treble-major [param | mu | nu] store (optim.interleave_adamw) issues ONE
 (3, D) block DMA. Shapes mirror the wikikg2 driver bench's touched-row
 set (8704 occurrences into a 2.5M-row d=128 table).
 
-  python benchmarks/exp_adamw_interleave.py
+  python benchmarks/exp_adamw_interleave.py          # fp32 treble
+  python benchmarks/exp_adamw_interleave.py packed   # packed fp16 quint
 """
 
 import sys
@@ -27,17 +28,27 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from besskge_tpu.optim import RowAdamW, interleave_adamw
+    from besskge_tpu import packed as pk
 
+    packed = len(sys.argv) > 1 and sys.argv[1] == "packed"
     n, d, r = 2_500_608, 128, 8704
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    if packed:
+        tab = pk.pack_table(tab.astype(jnp.float16))
 
     def bench(interleaved):
         opt = RowAdamW(
             learning_rate=1e-3, weight_decay=0.01, interleaved=interleaved
         )
         # fresh buffer per run: the donated table is consumed by step()
-        table = interleave_adamw(tab) if interleaved else (tab + 0.0)
+        if packed:
+            table = (
+                pk.interleave_packed_adamw(tab) if interleaved
+                else (tab + 0)
+            )
+        else:
+            table = interleave_adamw(tab) if interleaved else (tab + 0.0)
         state = opt.init(table, n_logical=n)
 
         K = 16  # updates per dispatch: amortizes the ~2 ms remote tunnel
@@ -71,7 +82,7 @@ def main() -> None:
             table, state = steps(table, state, idx_batch(), g)
         float(jnp.sum(table[:8]))
         dt = (time.perf_counter() - t0) / (m * K)
-        label = "treble" if interleaved else "separate"
+        label = (("quint" if packed else "treble") if interleaved else "separate")
         print(f"{label}: {1e6 * dt:.0f} us/update")
         return dt
 

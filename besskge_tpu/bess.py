@@ -59,6 +59,7 @@ from besskge_tpu.scoring import (
 from besskge_tpu.packed import is_packed as pk_is_packed
 from besskge_tpu.packed import is_paired as pk_is_paired
 from besskge_tpu.packed import is_trebled as pk_is_trebled
+from besskge_tpu.packed import is_quintupled as pk_is_quintupled
 from besskge_tpu.packed import is_tripled as pk_is_tripled
 from besskge_tpu.packed import take_contiguous_rows, take_rows
 
@@ -853,6 +854,8 @@ class TopKQueryBessKGE:
         # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
         if pk_is_tripled(t_flat, self.sharding.max_entity_per_shard):
             row_cap = 2 * (t_flat.shape[0] // 3)
+        elif pk_is_quintupled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = 2 * (t_flat.shape[0] // 5)
         elif packed_tab:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):
@@ -1133,6 +1136,8 @@ class AllScoresBESS:
         # see besskge_tpu.optim.interleave_momentum) back 1 per 2.
         if pk_is_tripled(t_flat, self.sharding.max_entity_per_shard):
             row_cap = 2 * (t_flat.shape[0] // 3)
+        elif pk_is_quintupled(t_flat, self.sharding.max_entity_per_shard):
+            row_cap = 2 * (t_flat.shape[0] // 5)
         elif packed_tab:
             row_cap = 2 * t_flat.shape[0]
         elif pk_is_paired(t_flat, self.sharding.max_entity_per_shard):

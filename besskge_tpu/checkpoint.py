@@ -112,7 +112,25 @@ def save_checkpoint(
         wide = np.asarray(params["entity_embedding"])
         d = wide.shape[-1]
         moments: Dict[str, np.ndarray]
-        if interleaved_entity == "adamw":
+        if interleaved_entity == "adamw" and np.issubdtype(
+            wide.dtype, np.integer
+        ):
+            # quintuplet-major packed store (packed.is_quintupled): file
+            # keeps the plain (P, D) packed table + logical-major fp32
+            # mu/nu — byte-compatible with a non-interleaved packed run
+            five_p = wide.shape[-2]
+            quin = wide.reshape(*wide.shape[:-2], five_p // 5, 5, d)
+            p_half = np.ascontiguousarray(quin[..., 0, :])
+
+            def _logical(j):
+                return np.ascontiguousarray(
+                    quin[..., 1 + 2 * j: 3 + 2 * j, :].reshape(
+                        *wide.shape[:-2], -1, d
+                    )
+                ).view(np.uint32).view(np.float32)
+
+            moments = {"mu": _logical(0), "nu": _logical(1)}
+        elif interleaved_entity == "adamw":
             # treble-major fp32 [param | mu | nu] (optim.interleave_adamw):
             # file keeps the plain table + opt/entity/{mu,nu} — byte-
             # compatible with a non-interleaved RowAdamW run
@@ -311,8 +329,9 @@ def load_checkpoint(
         sharding = new_sharding
 
     if interleave_entity == "adamw":
-        # rebuild the treble-major fp32 [param | mu | nu] store of an
-        # interleaved RowAdamW run (zeros for absent moments)
+        # rebuild the treble-major fp32 (or quintuplet-major packed)
+        # [param | mu | nu] store of an interleaved RowAdamW run (zeros
+        # for absent moments)
         tab = np.asarray(params["entity_embedding"])
         mu = nu = None
         if isinstance(opt_state, dict) and isinstance(
@@ -322,15 +341,51 @@ def load_checkpoint(
             mu = ent.pop("mu", None)
             nu = ent.pop("nu", None)
             opt_state = dict(opt_state, entity=ent)
-        mu = np.zeros_like(tab) if mu is None else np.asarray(mu, tab.dtype)
-        nu = np.zeros_like(tab) if nu is None else np.asarray(nu, tab.dtype)
-        stacked = np.stack([tab, mu, nu], axis=-2)
-        params = dict(
-            params,
-            entity_embedding=stacked.reshape(
-                *tab.shape[:-2], 3 * tab.shape[-2], tab.shape[-1]
-            ),
-        )
+        if np.issubdtype(tab.dtype, np.integer):
+            p_cnt, d = tab.shape[-2], tab.shape[-1]
+
+            def _bits(m):
+                if m is None:
+                    return np.zeros(
+                        (*tab.shape[:-2], 2 * p_cnt, d), tab.dtype
+                    )
+                return (
+                    np.ascontiguousarray(np.asarray(m, np.float32))
+                    .view(np.uint32)
+                    .view(tab.dtype)
+                )
+
+            mub, nub = _bits(mu), _bits(nu)
+            stacked = np.stack(
+                [
+                    tab,
+                    mub[..., 0::2, :], mub[..., 1::2, :],
+                    nub[..., 0::2, :], nub[..., 1::2, :],
+                ],
+                axis=-2,
+            )  # (..., P, 5, D) -> quintuplet-major (..., 5P, D)
+            params = dict(
+                params,
+                entity_embedding=stacked.reshape(
+                    *tab.shape[:-2], 5 * p_cnt, d
+                ),
+            )
+        else:
+            mu = (
+                np.zeros_like(tab) if mu is None
+                else np.asarray(mu, tab.dtype)
+            )
+            nu = (
+                np.zeros_like(tab) if nu is None
+                else np.asarray(nu, tab.dtype)
+            )
+            stacked = np.stack([tab, mu, nu], axis=-2)
+            params = dict(
+                params,
+                entity_embedding=stacked.reshape(
+                    *tab.shape[:-2], 3 * tab.shape[-2], tab.shape[-1]
+                ),
+            )
     elif interleave_entity:
         tab = np.asarray(params["entity_embedding"])
         mom = None

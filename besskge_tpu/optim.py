@@ -512,10 +512,31 @@ class RowAdamW(EntityRowOptimizer):
 
     def init(self, table, n_logical=None):
         if self.interleaved:
+            from besskge_tpu.packed import is_packed
+
             t = _flat(table)
+            if is_packed(t):
+                # quintuplet-major packed store (packed.is_quintupled):
+                # [packed param pair | mu 2p | mu 2p+1 | nu 2p | nu 2p+1]
+                if n_logical is not None and t.shape[0] != 5 * (
+                    (n_logical + 1) // 2
+                ):
+                    raise ValueError(
+                        f"interleaved packed table must be "
+                        f"(5·ceil({n_logical}/2), D) — got {tuple(t.shape)}"
+                        f"; widen it with interleave_packed_adamw()"
+                    )
+                if t.shape[0] % 5:
+                    raise ValueError(
+                        "interleaved packed table must be quintuplet-major"
+                        " (5P, D) — widen it with "
+                        "interleave_packed_adamw()"
+                    )
+                return {"count": jnp.zeros((), jnp.int32)}
             if _is_16bit_table(table) or t.dtype.itemsize != 4:
                 raise ValueError(
-                    "interleaved Adam moments require a plain fp32 table"
+                    "interleaved Adam moments require a plain fp32 or a "
+                    "row-pair-packed table"
                 )
             if n_logical is not None and t.shape[0] != 3 * n_logical:
                 raise ValueError(
@@ -535,13 +556,80 @@ class RowAdamW(EntityRowOptimizer):
         }
 
     def widen_table(self, table):
-        return interleave_adamw(table) if self.interleaved else table
+        if not self.interleaved:
+            return table
+        from besskge_tpu.packed import interleave_packed_adamw, is_packed
+
+        if is_packed(_flat(table)):
+            return interleave_packed_adamw(table)
+        return interleave_adamw(table)
+
+    def _update_rows_interleaved_packed(self, table, state, idx, grad_rows):
+        """Quintuplet-store variant for packed tables (the reference
+        capacity tables' fp16 + Adam recipe): the packed param pair AND
+        both logical rows' mu/nu live in one contiguous (5, D) block,
+        written back with ONE scatter DMA per touched packed row — the
+        separate-buffer path issues one packed-param DMA plus two fp32
+        moment DMAs per touched LOGICAL row. Identical arithmetic (same
+        dedup, same bias correction, same SR hash), pinned bit-exact in
+        tests/test_adamw_interleaved.py."""
+        from besskge_tpu.packed import (
+            half_dtype,
+            merge_packed_block_writes,
+            take_rows,
+        )
+
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
+        t = _flat(table)
+        p = (idx >> 1).astype(jnp.int32)
+        odd = (idx & 1).astype(jnp.int32)
+        count = state["count"] + 1
+        p_rows = take_rows(
+            t, idx, n_logical=2 * (t.shape[0] // 5)
+        ).astype(jnp.float32)
+        mu_prev = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                jnp.take(t, 5 * p + 1 + odd, axis=0), jnp.uint32
+            ),
+            jnp.float32,
+        )
+        nu_prev = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                jnp.take(t, 5 * p + 3 + odd, axis=0), jnp.uint32
+            ),
+            jnp.float32,
+        )
+        mu_rows = self.b1 * mu_prev + (1 - self.b1) * g
+        nu_rows = self.b2 * nu_prev + (1 - self.b2) * (g * g)
+        tf = count.astype(jnp.float32)
+        mu_hat = mu_rows / (1 - self.b1**tf)
+        nu_hat = nu_rows / (1 - self.b2**tf)
+        upd = _lr_at(self.learning_rate, state["count"]) * (
+            mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+            + self.weight_decay * p_rows
+        )
+        new_rows = p_rows - upd
+        if self.stochastic_rounding:
+            new_rows = _sr_round_16(new_rows, idx, count, table)
+        else:
+            new_rows = new_rows.astype(half_dtype(t))
+        phys, out = merge_packed_block_writes(
+            table, idx, new_rows, [mu_rows, nu_rows]
+        )
+        new_table = _apply_row_slices(table, phys, out, 5, sorted_dedup=True)
+        return new_table, {"count": count}
 
     def _update_rows_interleaved(self, table, state, idx, grad_rows):
         """Treble-store variant: one flat gather reads each touched row's
         [param | mu | nu] trio, one (3, D)-block scatter writes all three
         back — identical arithmetic to the separate-buffer path (pinned
         bit-exact in tests/test_adamw_interleaved.py)."""
+        from besskge_tpu.packed import is_packed
+
+        if is_packed(_flat(table)):
+            return self._update_rows_interleaved_packed(
+                table, state, idx, grad_rows
+            )
         idx, g = _dedup_row_grads(table, idx, grad_rows)
         d = grad_rows.shape[-1]
         t = _flat(table)

@@ -68,8 +68,14 @@ __all__ = [
     "logical_rows",
     "merge_packed_row_writes",
     "merge_packed_triplet_writes",
+    "merge_packed_block_writes",
     "interleave_packed_momentum",
+    "interleave_packed_adamw",
+    "interleave_packed_state",
     "split_packed_interleaved",
+    "split_packed_adamw",
+    "split_packed_state",
+    "is_quintupled",
 ]
 
 _LO = jnp.uint32(0x0000FFFF)
@@ -105,7 +111,8 @@ def logical_rows(table: jnp.ndarray, n_logical: int) -> int:
     """Validate and return the logical row count backed by ``table``."""
     if is_packed(table):
         p = (n_logical + 1) // 2
-        assert table.shape[0] in (p, 3 * p)  # plain or triplet-major store
+        # plain, triplet-major (SGDM) or quintuplet-major (AdamW) store
+        assert table.shape[0] in (p, 3 * p, 5 * p)
     return n_logical
 
 
@@ -245,64 +252,143 @@ def is_tripled(table: jnp.ndarray, n_logical: int | None) -> bool:
     )
 
 
-def interleave_packed_momentum(
-    packed: jnp.ndarray, momentum: jnp.ndarray | None = None
+def is_quintupled(table: jnp.ndarray, n_logical: int | None) -> bool:
+    """True when ``table`` is a quintuplet-major packed store
+    ``(5·ceil(n_logical/2), D)`` holding, per packed row ``p``,
+
+        ``[packed param pair | Adam mu 2p | mu 2p+1 | nu 2p | nu 2p+1]``
+
+    — the storage layout of :class:`besskge_tpu.optim.RowAdamW`
+    ``interleaved=True`` on a packed table. Same static-row-count
+    detection contract as :func:`is_tripled`."""
+    t = _flat(table)
+    return (
+        n_logical is not None
+        and is_packed(t)
+        and n_logical > 0
+        and t.shape[0] == 5 * ((n_logical + 1) // 2)
+    )
+
+
+def interleave_packed_state(
+    packed: jnp.ndarray,
+    states: "list[jnp.ndarray | None] | tuple",
 ) -> jnp.ndarray:
-    """Widen a packed ``(P, D)`` table into the triplet-major
-    ``(3P, D)`` store of :func:`is_tripled`, interleaving an fp32
-    logical-major ``(2P, D)`` momentum buffer (zeros when ``None``).
-    Leading unit (device) axes are preserved. The transient ``(P, 3, D)``
-    stack pads sublanes 3 → 8 — a construction/checkpoint-time op, never
-    in the train step."""
+    """Widen a packed ``(P, D)`` table into the block-major
+    ``((1+2k)·P, D)`` store (``k = len(states)``; ``k=1`` =
+    :func:`is_tripled`, ``k=2`` = :func:`is_quintupled`), interleaving
+    each fp32 logical-major ``(2P, D)`` state buffer (zeros when
+    ``None``). Per packed row ``p`` the block is
+    ``[packed | s0 2p | s0 2p+1 | s1 2p | ...]``. Leading unit (device)
+    axes are preserved. The transient ``(P, 1+2k, D)`` stack pads
+    sublanes — a construction/checkpoint-time op, never in the train
+    step."""
     t = _flat(packed)
     if not is_packed(t):
         raise ValueError(
-            "interleave_packed_momentum requires a row-pair-packed table; "
-            "plain fp32 tables use optim.interleave_momentum"
+            "interleave_packed_state requires a row-pair-packed table; "
+            "plain fp32 tables use optim.interleave_momentum/_adamw"
         )
     p, d = t.shape
-    if momentum is None:
-        mbits = jnp.zeros((2 * p, d), t.dtype)
-    else:
-        if momentum.shape != (2 * p, d):
-            raise ValueError(
-                f"momentum must be logical-major (2·{p}, {d}) fp32 — got "
-                f"{tuple(momentum.shape)}"
-            )
-        mbits = jax.lax.bitcast_convert_type(
-            momentum.astype(jnp.float32), jnp.uint32
-        ).astype(t.dtype)
-    trip = jnp.stack([t, mbits[0::2], mbits[1::2]], axis=1).reshape(3 * p, d)
-    return trip[None] if packed.ndim == 3 else trip
+    blocks = [t]
+    for s in states:
+        if s is None:
+            sb = jnp.zeros((2 * p, d), t.dtype)
+        else:
+            if s.shape != (2 * p, d):
+                raise ValueError(
+                    f"state must be logical-major (2·{p}, {d}) fp32 — got "
+                    f"{tuple(s.shape)}"
+                )
+            sb = jax.lax.bitcast_convert_type(
+                s.astype(jnp.float32), jnp.uint32
+            ).astype(t.dtype)
+        blocks.extend([sb[0::2], sb[1::2]])
+    stride = 1 + 2 * len(states)
+    out = jnp.stack(blocks, axis=1).reshape(stride * p, d)
+    return out[None] if packed.ndim == 3 else out
+
+
+def split_packed_state(
+    table: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, "list[jnp.ndarray]"]:
+    """Inverse of :func:`interleave_packed_state`:
+    ``((1+2k)·P, D) → ((P, D) packed params, k × (2P, D) fp32 states)``
+    — states in the logical-major shape of a NON-interleaved run's
+    moment buffers, so checkpoints stay byte-compatible across layouts.
+    Use before standalone evaluation as well (eval over a block store
+    works — reads are stride-aware — but contiguous window slices read
+    ``1+2k`` times the bytes)."""
+    t = _flat(table)
+    stride = 1 + 2 * k
+    if not is_packed(t) or t.shape[0] % stride:
+        raise ValueError(
+            f"expected a block-major packed ({stride}P, D) store; got "
+            f"{t.dtype} {tuple(t.shape)}"
+        )
+    trio = t.reshape(t.shape[0] // stride, stride, t.shape[-1])
+    packed = trio[:, 0]
+    states = [
+        jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(
+                trio[:, 1 + 2 * j: 3 + 2 * j].reshape(-1, t.shape[-1]),
+                jnp.uint32,
+            ),
+            jnp.float32,
+        )
+        for j in range(k)
+    ]
+    if table.ndim == 3:
+        return packed[None], states
+    return packed, states
+
+
+def interleave_packed_momentum(
+    packed: jnp.ndarray, momentum: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Widen a packed table into the triplet-major ``(3P, D)`` store of
+    :func:`is_tripled` (the ``k=1`` case of
+    :func:`interleave_packed_state`)."""
+    return interleave_packed_state(packed, [momentum])
 
 
 def split_packed_interleaved(
     table: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Inverse of :func:`interleave_packed_momentum`:
-    ``(3P, D) → ((P, D) packed params, (2P, D) fp32 momentum)`` — the
-    momentum in the logical-major shape of a NON-interleaved run's
-    ``state["m"]``, so checkpoints stay byte-compatible across the two
-    layouts. Use before standalone evaluation as well (eval over a tripled
-    table works — reads are triplet-aware — but contiguous window slices
-    read 3x the bytes)."""
-    t = _flat(table)
-    if not is_packed(t) or t.shape[0] % 3:
+    ``(3P, D) → ((P, D) packed params, (2P, D) fp32 momentum)``."""
+    try:
+        packed, (mom,) = split_packed_state(table, 1)
+    except ValueError:
+        t = _flat(table)
         raise ValueError(
             f"expected a triplet-major packed (3P, D) store; got "
             f"{t.dtype} {tuple(t.shape)}"
-        )
-    trip = t.reshape(t.shape[0] // 3, 3, t.shape[-1])
-    packed = trip[:, 0]
-    mom = jax.lax.bitcast_convert_type(
-        jax.lax.bitcast_convert_type(
-            trip[:, 1:].reshape(-1, t.shape[-1]), jnp.uint32
-        ),
-        jnp.float32,
-    )
-    if table.ndim == 3:
-        return packed[None], mom
+        ) from None
     return packed, mom
+
+
+def interleave_packed_adamw(
+    packed: jnp.ndarray,
+    mu: jnp.ndarray | None = None,
+    nu: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Widen a packed table into the quintuplet-major ``(5P, D)`` store of
+    :func:`is_quintupled` — ``[packed | mu 2p | mu 2p+1 | nu 2p |
+    nu 2p+1]`` per packed row — the storage layout of
+    :class:`besskge_tpu.optim.RowAdamW` ``interleaved=True`` on packed
+    tables (the reference capacity tables' fp16 + Adam recipe,
+    ``/root/reference/README.md:121-144``)."""
+    return interleave_packed_state(packed, [mu, nu])
+
+
+def split_packed_adamw(
+    table: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Inverse of :func:`interleave_packed_adamw`:
+    ``(5P, D) → ((P, D) packed params, (2P, D) mu, (2P, D) nu)``."""
+    packed, (mu, nu) = split_packed_state(table, 2)
+    return packed, mu, nu
 
 
 def _resolve_paired(t, n_logical, paired):
@@ -404,7 +490,9 @@ def take_rows(
             return row_take(t, 3 * idx)
         return row_take(t, idx)
     tripled = _resolve_tripled(t, n_logical, tripled)
-    stride = 3 if tripled else 1
+    stride = (
+        3 if tripled else 5 if is_quintupled(t, n_logical) else 1
+    )
     pair = row_take(t, stride * (idx >> 1))  # (…, D) 32-bit = both planes
     u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
     odd = (idx & 1).astype(bool)[..., None]
@@ -443,14 +531,17 @@ def take_contiguous_rows(
             return treb.reshape(w, 3, -1)[:, 0]
         return jax.lax.dynamic_slice_in_dim(t, start, w, axis=0)
     tripled = _resolve_tripled(t, n_logical, tripled)
-    if tripled:
-        # one (3·w/2, D) slice; momentum rows are discarded on-core — it
-        # reads 3x the bytes, so standalone evaluation should split the
-        # table first (:func:`split_packed_interleaved`)
-        trip = jax.lax.dynamic_slice_in_dim(
-            t, 3 * (start >> 1), 3 * (w // 2), axis=0
+    stride = (
+        3 if tripled else 5 if is_quintupled(t, n_logical) else 1
+    )
+    if stride > 1:
+        # one (stride·w/2, D) slice; state rows are discarded on-core — it
+        # reads stride-x the bytes, so standalone evaluation should split
+        # the table first (:func:`split_packed_state`)
+        blk = jax.lax.dynamic_slice_in_dim(
+            t, stride * (start >> 1), stride * (w // 2), axis=0
         )
-        pair = trip.reshape(w // 2, 3, -1)[:, 0]
+        pair = blk.reshape(w // 2, stride, -1)[:, 0]
     else:
         pair = jax.lax.dynamic_slice_in_dim(t, start >> 1, w // 2, axis=0)
     half = half_dtype(t)
@@ -572,40 +663,45 @@ def merge_packed_row_writes(
     return sp, jax.lax.bitcast_convert_type(merged, t.dtype)
 
 
-def merge_packed_triplet_writes(
+def merge_packed_block_writes(
     store: jnp.ndarray,
     idx: jnp.ndarray,
     rows: jnp.ndarray,
-    mom_rows: jnp.ndarray,
+    mom_list: "list[jnp.ndarray] | tuple[jnp.ndarray, ...]",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Turn logical-row (param, momentum) writes into duplicate-safe
-    (3, D)-block writes on a triplet-major store (see :func:`is_tripled`).
+    """Turn logical-row (param, k fp32 state rows) writes into
+    duplicate-safe ``(1+2k, D)``-block writes on a block-major packed
+    store (``k=1``: the triplet store of :func:`is_tripled`; ``k=2``: the
+    quintuplet store of :func:`is_quintupled`).
 
-    :param store: the ``(3P, D)`` triplet store (optionally with a leading
+    :param store: the ``((1+2k)·P, D)`` store (optionally with a leading
         unit device axis), read for the planes/rows nobody writes.
     :param idx: (R,) logical row indices, SORTED ascending with
-        duplicate-identical ``rows``/``mom_rows`` content (the
-        :func:`besskge_tpu.optim._dedup_row_grads` contract — the triplet
-        path is only reachable from the sorted sparse update).
+        duplicate-identical ``rows``/``mom_list`` content (the
+        :func:`besskge_tpu.optim._dedup_row_grads` contract — this path
+        is only reachable from the sorted sparse update).
     :param rows: (R, D) new logical param rows (cast to the 16-bit half
         dtype of the store).
-    :param mom_rows: (R, D) new fp32 momentum rows for the same logical
-        indices.
+    :param mom_list: k arrays of (R, D) new fp32 state rows (momentum /
+        Adam mu, nu) for the same logical indices.
     :return: ``(phys, out_rows)`` — (R,) int32 physical block starts
-        (``3·(idx>>1)``, sorted, duplicates = equal runs) and (3R, D)
-        storage-dtype rows where slot ``i`` carries the block
-        ``[merged packed params | momentum row 2p | momentum row 2p+1]``,
-        byte-identical across occurrences of one packed row — ready for
-        ``scatter_rows(..., slice_rows=3, skip_dups=True)``.
+        (``(1+2k)·(idx>>1)``, sorted, duplicates = equal runs) and
+        ((1+2k)·R, D) storage-dtype rows where slot ``i`` carries the
+        block ``[merged packed params | state0 row 2p | state0 row 2p+1 |
+        state1 row 2p | ...]``, byte-identical across occurrences of one
+        packed row — ready for
+        ``scatter_rows(..., slice_rows=1+2k, skip_dups=True)``.
 
     The sibling resolution reuses the sorted-adjacency argument of
     :func:`merge_packed_row_writes`: a logical row's sibling run — if
     written at all — is exactly the adjacent run, so one vectorized
-    boundary pass locates it for both the param plane AND the sibling's
-    momentum row; absent siblings keep the store's current bytes.
+    boundary pass locates it for the param plane AND every sibling state
+    row; absent siblings keep the store's current bytes.
     """
     t = _flat(store)
     half = half_dtype(t)
+    k = len(mom_list)
+    stride = 1 + 2 * k
     p = (idx >> 1).astype(jnp.int32)
     odd = (idx & 1).astype(bool)
     r = idx.shape[0]
@@ -613,9 +709,6 @@ def merge_packed_triplet_writes(
 
     bits = _bits16(rows, half)  # (R, D) uint32, low halfword
     placed = jnp.where(odd[:, None], bits << 16, bits)
-    mbits = jax.lax.bitcast_convert_type(
-        mom_rows.astype(jnp.float32), jnp.uint32
-    )
 
     iota = jnp.arange(r, dtype=jnp.int32)
     starts = jnp.concatenate([jnp.ones((1,), bool), idx[1:] != idx[:-1]])
@@ -631,24 +724,37 @@ def merge_packed_triplet_writes(
     # --- packed param word: own plane | sibling's plane or current bytes
     sib_placed = jnp.take(placed, sib_pos_c, axis=0)
     cur = jax.lax.bitcast_convert_type(
-        jnp.take(t, 3 * p, axis=0), jnp.uint32
+        jnp.take(t, stride * p, axis=0), jnp.uint32
     )
     other_mask = jnp.where(odd, _LO, _HI)[:, None]  # sibling's plane
     other = jnp.where(present[:, None], sib_placed, cur & other_mask)
-    merged = placed | other
+    blocks = [placed | other]
 
-    # --- momentum rows: own new value; sibling's new value when written,
-    # else its current row from the store (3p+1 even slot, 3p+2 odd slot)
-    sib_m = jnp.take(mbits, sib_pos_c, axis=0)
-    cur_m_sib = jax.lax.bitcast_convert_type(
-        jnp.take(
-            t, 3 * p + 1 + jnp.where(odd, 0, 1).astype(jnp.int32), axis=0
-        ),
-        jnp.uint32,
-    )
-    m_sib = jnp.where(present[:, None], sib_m, cur_m_sib)
-    m_even = jnp.where(odd[:, None], m_sib, mbits)
-    m_odd = jnp.where(odd[:, None], mbits, m_sib)
+    # --- state rows: own new value; sibling's new value when written,
+    # else its current row from the store
+    sib_off = jnp.where(odd, 0, 1).astype(jnp.int32)  # sibling's parity
+    for j, mom_rows in enumerate(mom_list):
+        mbits = jax.lax.bitcast_convert_type(
+            mom_rows.astype(jnp.float32), jnp.uint32
+        )
+        sib_m = jnp.take(mbits, sib_pos_c, axis=0)
+        cur_m_sib = jax.lax.bitcast_convert_type(
+            jnp.take(t, stride * p + 1 + 2 * j + sib_off, axis=0),
+            jnp.uint32,
+        )
+        m_sib = jnp.where(present[:, None], sib_m, cur_m_sib)
+        blocks.append(jnp.where(odd[:, None], m_sib, mbits))  # row 2p
+        blocks.append(jnp.where(odd[:, None], mbits, m_sib))  # row 2p+1
+    out = jnp.stack(blocks, axis=1).reshape(stride * r, d)
+    return stride * p, jax.lax.bitcast_convert_type(out, t.dtype)
 
-    out = jnp.stack([merged, m_even, m_odd], axis=1).reshape(3 * r, d)
-    return 3 * p, jax.lax.bitcast_convert_type(out, t.dtype)
+
+def merge_packed_triplet_writes(
+    store: jnp.ndarray,
+    idx: jnp.ndarray,
+    rows: jnp.ndarray,
+    mom_rows: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(3, D)-block writes on a triplet-major store — the ``k=1`` case of
+    :func:`merge_packed_block_writes` (see there for the contract)."""
+    return merge_packed_block_writes(store, idx, rows, [mom_rows])

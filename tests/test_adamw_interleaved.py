@@ -304,3 +304,114 @@ def test_trainer_auto_widens_adamw(tmp_path):
         Trainer(
             bess, bs, optax.sgd(0.01), entity_optimizer=row, params=bad
         )
+
+
+@pytest.mark.parametrize("half", ["bf16", "fp16"])
+@pytest.mark.parametrize("sr", [True, False])
+def test_packed_quint_trajectory_matches_separate(half, sr):
+    """Packed-table interleaved AdamW (quintuplet-major (5P, D) store,
+    packed.interleave_packed_adamw — the reference capacity tables' fp16
+    + Adam recipe) applies identical arithmetic to the separate-buffer
+    packed RowAdamW: bit-for-bit trajectories."""
+    rng = np.random.default_rng(5)
+    n, d = 24, 128
+    hd = jnp.bfloat16 if half == "bf16" else jnp.float16
+    packed0 = pk.pack_table(
+        jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)).astype(hd)
+    )
+
+    def run(interleaved):
+        opt = RowAdamW(
+            learning_rate=0.05, weight_decay=0.01,
+            stochastic_rounding=sr, interleaved=interleaved,
+        )
+        table = (
+            pk.interleave_packed_adamw(packed0) if interleaved else packed0
+        )
+        state = opt.init(table, n_logical=n)
+        for step in range(5):
+            srng = np.random.default_rng(100 + step)
+            idx = jnp.asarray(srng.integers(n, size=12).astype(np.int32))
+            grads = jnp.asarray(
+                srng.normal(size=(12, d)).astype(np.float32)
+            )
+            table, state = opt.update_rows(table, state, idx, grads)
+        if interleaved:
+            p, mu, nu = pk.split_packed_adamw(table)
+            return np.asarray(p), np.asarray(mu), np.asarray(nu)
+        return (
+            np.asarray(table),
+            np.asarray(state["mu"]),
+            np.asarray(state["nu"]),
+        )
+
+    p_sep, mu_sep, nu_sep = run(False)
+    p_int, mu_int, nu_int = run(True)
+    np.testing.assert_array_equal(p_int, p_sep)
+    np.testing.assert_array_equal(mu_int, mu_sep)
+    np.testing.assert_array_equal(nu_int, nu_sep)
+
+
+def test_packed_quint_reads_and_checkpoint(tmp_path):
+    """Quintuplet widen/split round-trips; logical-row and contiguous
+    gathers read through the (5P, D) store; checkpoint stores the plain
+    packed table + logical fp32 mu/nu and loads back in either layout."""
+    from besskge_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from besskge_tpu.sharding import Sharding
+
+    rng = np.random.default_rng(6)
+    n, d = 24, 128
+    packed = pk.pack_table(
+        jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    )
+    mu = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    nu = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    quin = pk.interleave_packed_adamw(packed, mu, nu)
+    assert quin.shape == (5 * n // 2, d)
+    back_p, back_mu, back_nu = pk.split_packed_adamw(quin)
+    np.testing.assert_array_equal(np.asarray(back_p), np.asarray(packed))
+    np.testing.assert_array_equal(np.asarray(back_mu), np.asarray(mu))
+    np.testing.assert_array_equal(np.asarray(back_nu), np.asarray(nu))
+    idx = jnp.asarray(rng.integers(n, size=(2, 7)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(pk.take_rows(quin, idx, n_logical=n).astype(jnp.float32)),
+        np.asarray(pk.take_rows(packed, idx).astype(jnp.float32)),
+    )
+    got = pk.take_contiguous_rows(quin, jnp.int32(4), 8, n_logical=n)
+    want = pk.take_contiguous_rows(packed, jnp.int32(4), 8)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)),
+        np.asarray(want.astype(jnp.float32)),
+    )
+
+    # checkpoint round-trip (1-shard sharding metadata for completeness)
+    sh = Sharding.create(n, 1, seed=0)
+    path = tmp_path / "quin.npz"
+    save_checkpoint(
+        path,
+        {"entity_embedding": np.asarray(quin)},
+        opt_state={"entity": {"count": np.int32(7)}},
+        sharding=sh,
+        interleaved_entity="adamw",
+    )
+    params_p, opt_p, _, _ = load_checkpoint(path)
+    np.testing.assert_array_equal(
+        params_p["entity_embedding"], np.asarray(packed)
+    )
+    np.testing.assert_array_equal(opt_p["entity"]["mu"], np.asarray(mu))
+    np.testing.assert_array_equal(opt_p["entity"]["nu"], np.asarray(nu))
+    params_i, opt_i, _, _ = load_checkpoint(path, interleave_entity="adamw")
+    np.testing.assert_array_equal(
+        params_i["entity_embedding"], np.asarray(quin)
+    )
+    assert "mu" not in opt_i["entity"]
+
+
+def test_packed_quint_init_validation():
+    row = RowAdamW(learning_rate=0.1, interleaved=True)
+    packed = pk.pack_table(jnp.zeros((16, 128), jnp.bfloat16))
+    with pytest.raises(ValueError, match="interleave_packed_adamw"):
+        row.init(packed, n_logical=16)
+    row.init(pk.interleave_packed_adamw(packed), n_logical=16)  # ok
+    with pytest.raises(ValueError, match="quintuplet-major"):
+        row.init(packed[:4], n_logical=None)
