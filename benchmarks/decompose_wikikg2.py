@@ -180,7 +180,7 @@ def build(variant: str):
 
     RowSGDM, NoUpdate, NoScatter = _make_rows()
     family, _, abl = variant.partition(":")
-    packed = family == "packed"
+    packed = family in ("packed", "packed_int")
 
     # ablate the Pallas L1 kernels by raising the size gate
     orig_thresh = (dist_mod._PALLAS_MIN_ELEMS,
@@ -221,7 +221,7 @@ def build(variant: str):
         augment_negative=True, axis_name=None,
     )
 
-    interleaved = family == "fp32"
+    interleaved = family in ("fp32", "packed_int")
     sr = packed and abl != "no_sr"
     kw = dict(learning_rate=1e-3, momentum=0.9, stochastic_rounding=sr,
               interleaved=interleaved)
@@ -237,9 +237,16 @@ def build(variant: str):
     params = score_fn.initial_params_device()
     if interleaved:
         params = dict(params)
-        params["entity_embedding"] = interleave_momentum(
-            params["entity_embedding"]
-        )
+        if packed:
+            from besskge_tpu.packed import interleave_packed_momentum
+
+            params["entity_embedding"] = interleave_packed_momentum(
+                params["entity_embedding"]
+            )
+        else:
+            params["entity_embedding"] = interleave_momentum(
+                params["entity_embedding"]
+            )
     opt = optax.sgd(1e-3, momentum=0.9)
     opt_state = init_optimizer_state(opt, params, None, row)
     dev = DeviceBatchSampler(pts, ns, shard_bs=SHARD_BS,
@@ -263,6 +270,7 @@ VARIANTS = [
     "fp32:xla_l1",
     "packed:full", "packed:no_sr", "packed:no_update", "packed:no_scatter",
     "packed:merge_no_scatter", "packed:xla_l1",
+    "packed_int:full", "packed_int:no_sr",
 ]
 
 
