@@ -125,6 +125,38 @@ def _tpu_kernel_selftest() -> None:
     want_m[m_idx] = m_rows
     np.testing.assert_allclose(np.asarray(o1), want_m, rtol=0, atol=0)
 
+    # block-slice writes with sorted duplicate skipping — the exact
+    # contract of the interleaved triplet (h=3, packed SGDM) and
+    # quintuplet (h=5, packed AdamW) update paths
+    for h in (3, 5):
+        n_blk = 512 // h
+        blk_np = rng.normal(size=(h * n_blk, 128)).astype(np.float32)
+        starts = np.sort(
+            rng.choice(n_blk, size=9, replace=False)
+        ).astype(np.int32)
+        starts = np.repeat(starts, 2)[:13]  # sorted with duplicate runs
+        phys = (h * starts).astype(np.int32)
+        blocks = rng.normal(size=(13, h, 128)).astype(np.float32)
+        first = np.concatenate([[True], starts[1:] != starts[:-1]])
+        for k in range(13):  # duplicates carry identical content
+            if not first[k]:
+                blocks[k] = blocks[k - 1]
+        out_b = jax.jit(
+            scatter_rows,
+            donate_argnums=0,
+            static_argnames=("slice_rows", "skip_dups"),
+        )(
+            jnp.asarray(blk_np), jnp.asarray(phys),
+            jnp.asarray(blocks.reshape(-1, 128)),
+            slice_rows=h, skip_dups=True,
+        )
+        want_b = blk_np.copy()
+        for k in range(13):
+            want_b[phys[k]: phys[k] + h] = blocks[k]
+        np.testing.assert_allclose(
+            np.asarray(out_b), want_b, rtol=0, atol=0
+        )
+
     p = rng.normal(size=(256, 128)).astype(np.float32)
     mu = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
     nu = abs(rng.normal(size=(256, 128)).astype(np.float32)) * 0.01
