@@ -404,9 +404,12 @@ def _setup_wikikg2(bf16_table: bool = False, fp16_table: bool = False):
     # positive and the flat shared negatives. Each touched row is read by
     # the forward gather, read again by the backward, and read + written
     # by the row update. Interleaved fp32 moves (param, momentum) (2, D)
-    # pairs per touch; packed 16-bit moves half-width rows plus a separate
-    # fp32 momentum row at update time. The small relation table is dense
-    # SGDM (read p, m, g + write p, m + grad write = 6x).
+    # pairs per touch; the triplet-interleaved packed store moves a
+    # (3, D) 32-bit block per touched PACKED row at update time (= 12·D
+    # bytes per logical row — numerically identical to the old
+    # separate-momentum accounting) plus half-width fwd/bwd reads. The
+    # small relation table is dense SGDM (read p, m, g + write p, m +
+    # grad write = 6x).
     D = 128
     rows_touched = shard_bs * bps * 2 + 32 * bps
     if bf16_table or fp16_table:
