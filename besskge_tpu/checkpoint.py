@@ -104,8 +104,10 @@ def save_checkpoint(
     byte-compatible with a checkpoint written by a NON-interleaved run, so
     the storage layout is a pure runtime choice.
     ``interleaved_entity="adamw"`` de-interleaves the treble-major fp32
-    ``[param | mu | nu]`` store of :class:`besskge_tpu.optim.RowAdamW`
-    ``interleaved=True`` into ``opt/entity/mu`` and ``opt/entity/nu``.
+    (or quintuplet-major packed) ``[param | mu | nu]`` store of
+    :class:`besskge_tpu.optim.RowAdamW` ``interleaved=True`` into
+    ``opt/entity/mu`` and ``opt/entity/nu``; ``"adagrad"`` uses the
+    single-state layouts with the accumulator under ``opt/entity/acc``.
     """
     path = Path(path)
     if interleaved_entity:
@@ -143,21 +145,25 @@ def save_checkpoint(
             }
         elif np.issubdtype(wide.dtype, np.integer):
             # triplet-major packed store (packed.is_tripled): file keeps
-            # the plain (P, D) packed table + logical-major fp32 momentum
-            # — byte-compatible with a non-interleaved packed run
+            # the plain (P, D) packed table + logical-major fp32 state
+            # — byte-compatible with a non-interleaved packed run.
+            # RowSGDM stores its momentum as "m"; RowAdagrad its
+            # accumulator as "acc" (the layouts are identical).
+            key = "acc" if interleaved_entity == "adagrad" else "m"
             three_p = wide.shape[-2]
             trip = wide.reshape(*wide.shape[:-2], three_p // 3, 3, d)
             p_half = np.ascontiguousarray(trip[..., 0, :])
             moments = {
-                "m": np.ascontiguousarray(
+                key: np.ascontiguousarray(
                     trip[..., 1:, :].reshape(*wide.shape[:-2], -1, d)
                 ).view(np.uint32).view(np.float32)
             }
         else:
+            key = "acc" if interleaved_entity == "adagrad" else "m"
             two_n = wide.shape[-2]
             pairs = wide.reshape(*wide.shape[:-2], two_n // 2, 2, d)
             p_half = np.ascontiguousarray(pairs[..., 0, :])
-            moments = {"m": np.ascontiguousarray(pairs[..., 1, :])}
+            moments = {key: np.ascontiguousarray(pairs[..., 1, :])}
         params = dict(params, entity_embedding=p_half)
         if opt_state is not None and isinstance(opt_state, dict):
             ent = dict(opt_state.get("entity", {}))
@@ -388,12 +394,13 @@ def load_checkpoint(
             )
     elif interleave_entity:
         tab = np.asarray(params["entity_embedding"])
+        key = "acc" if interleave_entity == "adagrad" else "m"
         mom = None
         if isinstance(opt_state, dict) and isinstance(
             opt_state.get("entity"), dict
         ):
             ent = dict(opt_state["entity"])
-            mom = ent.pop("m", None)
+            mom = ent.pop(key, None)
             opt_state = dict(opt_state, entity=ent)
         if np.issubdtype(tab.dtype, np.integer):
             # rebuild the triplet-major packed store from the plain packed

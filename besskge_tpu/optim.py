@@ -930,14 +930,125 @@ class RowAdagrad(EntityRowOptimizer):
     eps: float = 1e-10
     #: stochastically round writes into 16-bit tables (see _sr_round_16)
     stochastic_rounding: bool = True
+    #: store the accumulator interleaved with the params — the single-state
+    #: layouts of :class:`RowSGDM`: pair-major (2N, D) fp32 or
+    #: triplet-major (3P, D) packed. One block DMA per touched row.
+    interleaved: bool = False
+    interleave_layout: str = "adagrad"
 
     def init(self, table, n_logical=None):
+        if self.interleaved:
+            from besskge_tpu.packed import is_packed
+
+            t = _flat(table)
+            if is_packed(t):
+                if n_logical is not None and t.shape[0] != 3 * (
+                    (n_logical + 1) // 2
+                ):
+                    raise ValueError(
+                        f"interleaved packed table must be "
+                        f"(3·ceil({n_logical}/2), D) — got {tuple(t.shape)}"
+                        f"; widen it with interleave_packed_momentum()"
+                    )
+                if t.shape[0] % 3:
+                    raise ValueError(
+                        "interleaved packed table must be triplet-major "
+                        "(3P, D) — widen it with "
+                        "interleave_packed_momentum()"
+                    )
+                return {"count": jnp.zeros((), jnp.int32)}
+            if _is_16bit_table(table) or t.dtype.itemsize != 4:
+                raise ValueError(
+                    "interleaved Adagrad requires a plain fp32 or a "
+                    "row-pair-packed table"
+                )
+            if n_logical is not None and t.shape[0] != 2 * n_logical:
+                raise ValueError(
+                    f"interleaved table must be (2*{n_logical}, D) — got "
+                    f"{tuple(t.shape)}; widen it with interleave_momentum()"
+                )
+            if t.shape[0] % 2:
+                raise ValueError(
+                    "interleaved table must be pair-major (2N, D) —"
+                    " widen it with interleave_momentum()"
+                )
+            return {"count": jnp.zeros((), jnp.int32)}
         return {
             "acc": jnp.zeros(_moment_shape(table), jnp.float32),
             "count": jnp.zeros((), jnp.int32),
         }
 
+    def widen_table(self, table):
+        if not self.interleaved:
+            return table
+        from besskge_tpu.packed import (
+            interleave_packed_momentum,
+            is_packed,
+        )
+
+        if is_packed(_flat(table)):
+            return interleave_packed_momentum(table)
+        return interleave_momentum(table)
+
+    def _update_rows_interleaved(self, table, state, idx, grad_rows):
+        """Pair/triplet-store variant (the accumulator reuses RowSGDM's
+        single-state layouts): one block DMA reads and writes a touched
+        row's [param | acc] — identical arithmetic to the separate-buffer
+        path (pinned bit-exact in tests/test_adagrad_interleaved.py)."""
+        from besskge_tpu.packed import (
+            half_dtype,
+            is_packed,
+            merge_packed_triplet_writes,
+            take_rows,
+        )
+
+        idx, g = _dedup_row_grads(table, idx, grad_rows)
+        t = _flat(table)
+        count = state["count"] + 1
+        lr = _lr_at(self.learning_rate, state["count"])
+        if is_packed(t):
+            p = (idx >> 1).astype(jnp.int32)
+            odd = (idx & 1).astype(jnp.int32)
+            p_rows = take_rows(t, idx, tripled=True).astype(jnp.float32)
+            acc_prev = jax.lax.bitcast_convert_type(
+                jax.lax.bitcast_convert_type(
+                    jnp.take(t, 3 * p + 1 + odd, axis=0), jnp.uint32
+                ),
+                jnp.float32,
+            )
+            acc_rows = acc_prev + g * g
+            new_rows = p_rows - lr * g / (jnp.sqrt(acc_rows) + self.eps)
+            if self.stochastic_rounding:
+                new_rows = _sr_round_16(new_rows, idx, count, table)
+            else:
+                new_rows = new_rows.astype(half_dtype(t))
+            phys, out = merge_packed_triplet_writes(
+                table, idx, new_rows, acc_rows
+            )
+            new_table = _apply_row_slices(
+                table, phys, out, 3, sorted_dedup=True
+            )
+            return new_table, {"count": count}
+        d = grad_rows.shape[-1]
+        phys = (2 * idx).astype(jnp.int32)
+        flat_idx = (
+            phys[:, None] + jnp.arange(2, dtype=phys.dtype)
+        ).reshape(-1)
+        pairs = jnp.take(t, flat_idx, axis=0).reshape(-1, 2, d)
+        p_rows, acc_prev = pairs[:, 0], pairs[:, 1]
+        acc_rows = acc_prev + g * g
+        new_p = p_rows - lr * g / (jnp.sqrt(acc_rows) + self.eps)
+        new_pairs = jnp.stack([new_p, acc_rows], axis=1).reshape(-1, d)
+        on_tpu = (
+            jax.default_backend() == "tpu" and table.shape[-1] % 128 == 0
+        )
+        new_table = _apply_row_pairs(table, phys, new_pairs,
+                                     sorted_dedup=on_tpu)
+        return new_table, {"count": count}
+
     def update_rows(self, table, state, idx, grad_rows):
+        if self.interleaved:
+            return self._update_rows_interleaved(table, state, idx, grad_rows)
         idx, g = _dedup_row_grads(table, idx, grad_rows)
         acc_rows = jnp.take(_flat(state["acc"]), idx, axis=0) + g * g
         p_rows = _read_rows(table, idx)

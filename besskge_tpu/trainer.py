@@ -732,12 +732,15 @@ class Trainer:
             sharding=self.bess.sharding,
             step=step,
             interleaved_entity=(
-                getattr(self.entity_optimizer, "interleave_layout", "")
+                getattr(
+                    self.entity_optimizer, "interleave_layout", "momentum"
+                )
                 if (
                     getattr(self.entity_optimizer, "interleaved", False)
                     and getattr(
-                        self.entity_optimizer, "interleave_layout", ""
-                    ) == "adamw"
+                        self.entity_optimizer, "interleave_layout",
+                        "momentum",
+                    ) != "momentum"
                 )
                 else bool(
                     getattr(self.entity_optimizer, "interleaved", False)
