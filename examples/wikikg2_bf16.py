@@ -150,13 +150,24 @@ def main() -> None:
         axis_name=None,
     )
     opt = optax.sgd(1e-3, momentum=0.95)
-    row = RowSGDM(learning_rate=1e-3, momentum=0.95)
+    # interleaved=True: momentum lives inside the packed store (triplet-
+    # major (3P, D) blocks, one scatter DMA per touched packed row — +5-8%
+    # end-to-end, BASELINE.md round 5); trajectory is bit-identical to the
+    # separate-buffer layout and checkpoints keep the plain on-disk format
+    row = RowSGDM(learning_rate=1e-3, momentum=0.95, interleaved=True)
     params = score_fn.initial_params_device()
+    params = dict(params)
+    from besskge_tpu.packed import interleave_packed_momentum
+
+    params["entity_embedding"] = interleave_packed_momentum(
+        params["entity_embedding"]
+    )
     table = params["entity_embedding"]
     fp32_bytes = sharding.n_shard * sharding.max_entity_per_shard * 128 * 4
     print(f"entity table: packed {table.dtype} {table.shape} = "
-          f"{table.size * 4 / 2**30:.2f} GiB (fp32 would be "
-          f"{fp32_bytes / 2**30:.2f} GiB)")
+          f"{table.size * 4 / 2**30:.2f} GiB incl. interleaved fp32 "
+          f"momentum (fp32 params alone would be "
+          f"{fp32_bytes / 2**30:.2f} GiB + momentum)")
     opt_state = init_optimizer_state(opt, params, None, row)
     step_fn = build_train_step(bess, opt, None, row)
 
@@ -195,10 +206,18 @@ def main() -> None:
         axis_name=None,  # single-shard capacity demo
     )
     fwd = build_topk_forward(topk, None)
+    # split the triplet store for eval: contiguous window slices over the
+    # interleaved table would read 3x the bytes (packed.py docstring)
+    from besskge_tpu.packed import split_packed_interleaved
+
+    eval_params = dict(params)
+    eval_params["entity_embedding"], _ = split_packed_interleaved(
+        params["entity_embedding"]
+    )
     totals, n_q = np.zeros(2), 0
     t0 = time.perf_counter()
     for b in qbs.get_dataloader(shuffle=False):
-        o = fwd(params, {k: jnp.asarray(v) for k, v in b.items()})
+        o = fwd(eval_params, {k: jnp.asarray(v) for k, v in b.items()})
         totals += np.asarray(o["metrics"], np.float64).reshape(-1, 2).sum(0)
         n_q += int(b["triple_mask"].sum())
     print(f"top-10 vs ALL {ds.n_entity:,} entities, {n_q} queries: "
